@@ -1,0 +1,371 @@
+"""FaceCascade: device-resident PICO face detector.
+
+Public surface mirrors the reference library API (core/pigo.go):
+    NewPigo().Unpack(bytes)       -> FaceCascade.from_bytes
+    (*Pigo).RunCascade(cp, angle) -> FaceCascade.run_cascade(...)
+    (*Pigo).ClusterDetections     -> pigo_tpu.ops.cluster.cluster_detections
+
+Two device backends, both bit-exact vs the scalar reference semantics:
+  - "pallas"    (default, upright): dense phase-decimated Pallas kernel with
+                tile-level early exit (ops/face_pallas.py)
+  - "reference" (gather-based jnp kernel, ops/face_dense.py): used for the
+                rotated path, for scales the Pallas planner routes to
+                fallback, and as an independent cross-check in tests
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pigo_tpu.cascade.assets import load_facefinder
+from pigo_tpu.cascade.format import FaceForest, unpack_face_cascade
+from pigo_tpu.ops import face_dense, face_pallas
+from pigo_tpu.ops.cluster import cluster_detections
+from pigo_tpu.ops.windows import WindowPlan, build_window_plan
+from pigo_tpu.utils.config import ensure_compilation_cache
+
+
+class FaceCascade:
+    """Face-detection forest resident on device, with plan/kernel caching."""
+
+    def __init__(
+        self,
+        forest: FaceForest | None = None,
+        block: int = face_dense.TREE_BLOCK,
+        backend: str = "pallas",
+        interpret: bool | None = None,
+    ):
+        ensure_compilation_cache()
+        self.forest = forest if forest is not None else load_facefinder()
+        self.block = block
+        self.backend = backend
+        # Pallas interpret mode: automatic on non-TPU backends (CPU tests).
+        self.interpret = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() not in ("tpu", "axon")
+        )
+        codes_p, preds_p, thresh_p, t_pad = face_dense.pad_trees(self.forest, block)
+        self.t_pad = t_pad
+        self._padded = FaceForest(
+            depth=self.forest.depth, codes=codes_p, preds=preds_p, thresh=thresh_p
+        )
+        # gather-path device constants
+        self.preds_g = jnp.asarray(preds_p)
+        self.thresh_g = jnp.asarray(thresh_p)
+        # pallas-path device constants
+        self.preds_flat = jnp.asarray(self.forest.preds.reshape(-1))
+        self.thresh_flat = jnp.asarray(self.forest.thresh)
+        self.thresh_last = jnp.float32(self.forest.thresh[self.forest.num_trees - 1])
+        self._gather_plans: dict[tuple, tuple[WindowPlan, dict[str, jax.Array]]] = {}
+        self._dense_plans: dict[tuple, tuple[face_pallas.DensePlan, object]] = {}
+
+    @classmethod
+    def from_bytes(cls, packet: bytes, **kw) -> "FaceCascade":
+        return cls(unpack_face_cascade(packet), **kw)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "FaceCascade":
+        with open(path, "rb") as fh:
+            return cls.from_bytes(fh.read(), **kw)
+
+    # -------------------------------------------------------- gather backend
+
+    def _gather_plan(self, rows, cols, dim, min_size, max_size, shift, scale_f,
+                     angle=0.0, scales_override=None):
+        key = (rows, cols, dim, min_size, max_size, shift, scale_f,
+               int(32 * angle) if angle > 0 else 0,
+               tuple(scales_override) if scales_override else None)
+        hit = self._gather_plans.get(key)
+        if hit is not None:
+            return hit
+        plan = build_window_plan(
+            self._padded, rows, cols, dim, min_size, max_size, shift, scale_f,
+            angle, scales_override,
+        )
+        dev: dict[str, jax.Array] = {
+            "base": jnp.asarray(plan.base),
+            "rows_w": jnp.asarray(plan.rows_w),
+            "cols_w": jnp.asarray(plan.cols_w),
+            "scale_idx": jnp.asarray(plan.scale_idx),
+        }
+        if plan.angle_idx == 0:
+            dev["off1"] = jnp.asarray(plan.off1)
+            dev["off2"] = jnp.asarray(plan.off2)
+        else:
+            dev["rot"] = jnp.asarray(plan.rot)
+        self._gather_plans[key] = (plan, dev)
+        return plan, dev
+
+    def _gather_scores(self, pix_flat, rows, cols, dim, min_size, max_size,
+                       shift, scale_f, angle=0.0, scales_override=None):
+        plan, dev = self._gather_plan(
+            rows, cols, dim, min_size, max_size, shift, scale_f, angle,
+            scales_override,
+        )
+        if plan.angle_idx == 0:
+            q = face_dense.classify_windows(
+                pix_flat, dev["base"], dev["scale_idx"], dev["off1"], dev["off2"],
+                self.preds_g, self.thresh_g, self.thresh_last,
+                depth=self.forest.depth, num_leaves=self.forest.num_leaves,
+                t_pad=self.t_pad, block=self.block,
+            )
+        else:
+            q = face_dense.classify_windows_rotated(
+                pix_flat, dev["rows_w"], dev["cols_w"], dev["scale_idx"],
+                dev["rot"], self.preds_g, self.thresh_g, self.thresh_last,
+                depth=self.forest.depth, num_leaves=self.forest.num_leaves,
+                t_pad=self.t_pad, nrows=rows, dim=dim, block=self.block,
+            )
+        return plan, q
+
+    # -------------------------------------------------------- pallas backend
+
+    # Fixed capacity for the sparse device->host hit list. Real frames yield
+    # tens of raw hits; an overflow (count > cap) triggers a dense re-read.
+    HIT_CAPACITY = 4096
+
+    def _dense_plan(self, rows, cols, min_size, max_size, shift, scale_f):
+        key = (rows, cols, min_size, max_size, shift, scale_f)
+        hit = self._dense_plans.get(key)
+        if hit is not None:
+            return hit
+        plan = face_pallas.build_dense_plan(
+            self.forest, rows, cols, min_size, max_size, shift, scale_f
+        )
+        # Tables/preds are passed as runtime ARGUMENTS (device-resident
+        # handles), not closure constants: some runtimes re-ship executable
+        # constants on every call, which would dominate frame latency.
+        tables_dev = {
+            sp.scale: jnp.asarray(sp.tables.reshape(-1))
+            for sp in plan.scales
+            if not sp.fallback
+        }
+        interpret = self.interpret
+        cap = self.HIT_CAPACITY
+
+        def scores(img2d, tables, preds, thresh):
+            return face_pallas.pyramid_scores(
+                img2d, plan, self.forest, tables, preds, thresh, interpret
+            )
+
+        @jax.jit
+        def dense_sparse(img2d, tables, preds, thresh):
+            # Sparse on-device compaction: ship only (index, score) hits to
+            # the host instead of the full dense score vector. Packed into a
+            # single f32 array -> one host transfer (indices < 2^24 are f32-
+            # exact).
+            q = scores(img2d, tables, preds, thresh)
+            hits = q > 0.0
+            count = jnp.sum(hits.astype(jnp.int32))
+            idx = jnp.nonzero(hits, size=cap, fill_value=-1)[0]
+            return jnp.concatenate(
+                [count[None].astype(jnp.float32), idx.astype(jnp.float32), q[idx]]
+            )
+
+        dense_full_jit = jax.jit(scores)
+
+        def dense_fn(img2d):
+            return dense_sparse(img2d, tables_dev, self.preds_flat, self.thresh_flat)
+
+        def dense_fn_full(img2d):
+            return dense_full_jit(img2d, tables_dev, self.preds_flat, self.thresh_flat)
+
+        # dense window index -> global plan window index (fallback interleave)
+        maps = []
+        off = 0
+        for sp in plan.scales:
+            n = sp.nr_real * sp.nc_real
+            if not sp.fallback:
+                maps.append(np.arange(off, off + n, dtype=np.int64))
+            off += n
+        dense_to_global = (
+            np.concatenate(maps) if maps else np.zeros(0, np.int64)
+        )
+        entry = (plan, dense_fn, dense_fn_full, dense_to_global)
+        self._dense_plans[key] = entry
+        return entry
+
+    # ------------------------------------------------------------- detection
+
+    def window_scores(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        dim: int,
+        min_size: int,
+        max_size: int,
+        shift_factor: float,
+        scale_factor: float,
+        angle: float = 0.0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Scores for every pyramid window, reference scan order.
+
+        Returns (host coords [Nw, 3] = (row, col, scale), scores [Nw] f32).
+        """
+        use_pallas = (
+            self.backend == "pallas" and angle <= 0.0 and dim == cols
+        )
+        if not use_pallas:
+            plan, q = self._gather_scores(
+                jnp.asarray(pixels, jnp.uint8).reshape(-1),
+                rows, cols, dim, min_size, max_size, shift_factor, scale_factor,
+                angle,
+            )
+            n = plan.num_windows
+            coords = np.stack(
+                [plan.rows_w[:n], plan.cols_w[:n], plan.scales[plan.scale_idx[:n]]],
+                axis=1,
+            )
+            return coords, np.asarray(q)[:n]
+
+        plan, _, dense_fn_full, d2g = self._dense_plan(
+            rows, cols, min_size, max_size, shift_factor, scale_factor
+        )
+        img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        q_dense = np.asarray(dense_fn_full(img2d))
+
+        coords = np.stack([plan.rows_w, plan.cols_w, plan.scale_w], axis=1)
+        q_full = np.full(plan.num_windows, -1.0, np.float32)
+        q_full[d2g] = q_dense
+        if plan.has_fallback:
+            fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
+            fb_plan, fb_q = self._gather_scores(
+                img2d.reshape(-1), rows, cols, cols, min_size, max_size,
+                shift_factor, scale_factor, 0.0, fb_scales,
+            )
+            fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
+            fb_mask = np.ones(plan.num_windows, bool)
+            fb_mask[d2g] = False
+            q_full[fb_mask] = fb_q
+        return coords, q_full
+
+    def sparse_hits(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+    ) -> np.ndarray:
+        """Fast path: dense kernels + on-device hit compaction.
+
+        Returns [N, 4] (row, col, scale, q) with q > 0, reference scan order.
+        Only ships the sparse hit list over the host link (the full dense
+        score vector stays on device)."""
+        plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
+            rows, cols, min_size, max_size, shift_factor, scale_factor
+        )
+        img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        packed = np.asarray(dense_fn(img2d))
+        cap = self.HIT_CAPACITY
+        count = int(packed[0])
+        if count > cap:  # capacity overflow: dense re-read (rare)
+            q_dense = np.asarray(dense_fn_full(img2d))
+            sel = q_dense > 0.0
+            idx_valid = np.nonzero(sel)[0]
+            qv_valid = q_dense[sel]
+        else:
+            idx = packed[1 : 1 + cap].astype(np.int64)
+            valid = idx >= 0
+            idx_valid = idx[valid]
+            qv_valid = packed[1 + cap :][valid].astype(np.float32)
+        gidx = d2g[idx_valid] if d2g.size else idx_valid
+        dets = np.stack(
+            [
+                plan.rows_w[gidx].astype(np.float64),
+                plan.cols_w[gidx].astype(np.float64),
+                plan.scale_w[gidx].astype(np.float64),
+                qv_valid.astype(np.float64),
+            ],
+            axis=1,
+        )
+        if plan.has_fallback:
+            fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
+            fb_plan, fb_q = self._gather_scores(
+                img2d.reshape(-1), rows, cols, cols, min_size, max_size,
+                shift_factor, scale_factor, 0.0, fb_scales,
+            )
+            fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
+            hit = fb_q > 0.0
+            if hit.any():
+                n = fb_plan.num_windows
+                fb = np.stack(
+                    [
+                        fb_plan.rows_w[:n][hit].astype(np.float64),
+                        fb_plan.cols_w[:n][hit].astype(np.float64),
+                        fb_plan.scales[fb_plan.scale_idx[:n][hit]].astype(
+                            np.float64
+                        ),
+                        fb_q[hit].astype(np.float64),
+                    ],
+                    axis=1,
+                )
+                # Merge keeping reference scan order (scale-major): both lists
+                # are already scale-major; a stable sort on scale restores the
+                # global order since within-scale order is preserved.
+                dets = np.concatenate([dets, fb])
+                order = np.argsort(dets[:, 2], kind="stable")
+                dets = dets[order]
+        return dets
+
+    def run_cascade(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        dim: int | None = None,
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+        angle: float = 0.0,
+    ) -> np.ndarray:
+        """Multi-scale detection pass. Returns [N, 4] (row, col, scale, q>0)
+        in the reference's scan order (scale-major, then row, then col)."""
+        dim = cols if dim is None else dim
+        if self.backend == "pallas" and angle <= 0.0 and dim == cols:
+            return self.sparse_hits(
+                pixels, rows, cols, min_size=min_size, max_size=max_size,
+                shift_factor=shift_factor, scale_factor=scale_factor,
+            )
+        coords, q = self.window_scores(
+            pixels, rows, cols, dim, min_size, max_size,
+            shift_factor, scale_factor, angle,
+        )
+        hit = q > 0.0
+        if not hit.any():
+            return np.zeros((0, 4), dtype=np.float64)
+        return np.concatenate(
+            [coords[hit].astype(np.float64), q[hit, None].astype(np.float64)],
+            axis=1,
+        )
+
+    def detect(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        dim: int | None = None,
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+        angle: float = 0.0,
+        iou_threshold: float = 0.2,
+    ) -> np.ndarray:
+        """run_cascade + ClusterDetections in one call -> clusters [M, 4]."""
+        dets = self.run_cascade(
+            pixels, rows, cols, dim,
+            min_size=min_size, max_size=max_size,
+            shift_factor=shift_factor, scale_factor=scale_factor, angle=angle,
+        )
+        return cluster_detections(dets, iou_threshold)
