@@ -262,9 +262,14 @@ class FaceCascade:
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor
         )
+        if plan.num_windows == 0:  # image smaller than the minimum face size
+            return np.zeros((0, 4), dtype=np.float64)
         img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
-        packed = np.asarray(dense_fn(img2d))
         cap = self.HIT_CAPACITY
+        if d2g.size == 0:  # every scale routed to the gather fallback
+            packed = np.zeros(1 + 2 * cap, np.float32)
+        else:
+            packed = np.asarray(dense_fn(img2d))
         count = int(packed[0])
         if count > cap:  # capacity overflow: dense re-read (rare)
             q_dense = np.asarray(dense_fn_full(img2d))
