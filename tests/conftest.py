@@ -1,0 +1,55 @@
+"""Test configuration: force a CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual 8-device CPU mesh (no TPU pod is
+available in CI); the Pallas kernels run in interpret mode on CPU. Set
+PIGO_TPU_TEST_PLATFORM=tpu to run the suite against real hardware.
+"""
+
+import os
+
+platform = os.environ.get("PIGO_TPU_TEST_PLATFORM", "cpu")
+if platform == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def sample_image():
+    from pigo_tpu.io.image import get_image
+
+    return get_image("assets/testdata/sample.jpg")
+
+
+@pytest.fixture(scope="session")
+def sample_gray(sample_image):
+    from pigo_tpu.io.image import rgb_to_grayscale
+
+    return rgb_to_grayscale(sample_image).reshape(
+        sample_image.shape[0], sample_image.shape[1]
+    )
+
+
+@pytest.fixture(scope="session")
+def face_forest():
+    from pigo_tpu.cascade.assets import load_facefinder
+
+    return load_facefinder()
+
+
+@pytest.fixture(scope="session")
+def pupil_forest():
+    from pigo_tpu.cascade.assets import load_puploc
+
+    return load_puploc()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,97 @@
+"""End-to-end pipeline + CLI smoke tests (reference core/pigo_test.go:68-84
+and the CLI behaviors in cmd/pigo/main.go)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pigo_tpu.detector import CascadeParams, FaceDetector
+from pigo_tpu.models.face import FaceCascade
+
+CFG = CascadeParams(min_size=60, max_size=400, shift_factor=0.3,
+                    scale_factor=1.3)
+
+
+@pytest.fixture(scope="module")
+def detector(face_forest):
+    return FaceDetector(
+        face=FaceCascade(face_forest, backend="reference"),
+        with_pupils=True, with_landmarks=True,
+    )
+
+
+def test_detect_faces_smoke(detector, sample_gray):
+    """>= 1 face found on sample.jpg (core/pigo_test.go:68-84)."""
+    rows, cols = sample_gray.shape
+    faces = detector.detect_faces(sample_gray, rows, cols, CFG,
+                                  iou_threshold=0.1)
+    assert len(faces) >= 1
+    best = max(faces, key=lambda f: f.q)
+    # the portrait's face is centered around (205, 155), scale ~250
+    assert 150 < best.row < 260
+    assert 100 < best.col < 210
+    assert best.scale > 100
+
+
+def test_full_pipeline(detector, sample_gray):
+    rows, cols = sample_gray.shape
+    results = detector.detect(sample_gray, rows, cols, CFG,
+                              iou_threshold=0.1, perturbs=15)
+    assert len(results) >= 1
+    r = results[0]
+    assert len(r.eyes) == 2
+    assert len(r.landmarks) == 15
+    j = r.to_json_dict()
+    assert set(j) == {"face", "eyes", "landmark_points"}
+    assert j["face"]["size"] == r.face.scale
+
+
+def test_detection_is_deterministic(detector, sample_gray):
+    import jax
+
+    rows, cols = sample_gray.shape
+    a = detector.detect(sample_gray, rows, cols, CFG, perturbs=15,
+                        key=jax.random.PRNGKey(7))
+    b = detector.detect(sample_gray, rows, cols, CFG, perturbs=15,
+                        key=jax.random.PRNGKey(7))
+    assert [p.row for r in a for p in r.landmarks] == [
+        p.row for r in b for p in r.landmarks
+    ]
+
+
+def run_cli(*args, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "pigo_tpu.cli", *args],
+        capture_output=True, input=stdin, timeout=600,
+    )
+
+
+def test_cli_usage_error():
+    p = run_cli("-in", "assets/testdata/sample.jpg")
+    assert p.returncode == 2
+    assert b"Usage" in p.stderr
+
+
+def test_cli_rejects_non_cascade():
+    p = run_cli("-in", "assets/testdata/sample.jpg", "-out", "empty",
+                "-cf", "assets/testdata/sample.jpg")
+    assert p.returncode == 1
+    assert b"not valid" in p.stderr
+
+
+def test_cli_json_output(tmp_path):
+    out = tmp_path / "out.png"
+    p = run_cli(
+        "-in", "assets/testdata/sample.jpg", "-out", str(out),
+        "-cf", "assets/cascade/facefinder",
+        "-min", "60", "-max", "400", "-shift", "0.3", "-scale", "1.3",
+        "-json", "-",
+    )
+    assert p.returncode == 0, p.stderr.decode()[-500:]
+    payload = json.loads(p.stdout)
+    assert len(payload) >= 1
+    assert "face" in payload[0]
+    assert out.exists() and out.stat().st_size > 1000
