@@ -9,12 +9,17 @@ import os
 
 platform = os.environ.get("PIGO_TPU_TEST_PLATFORM", "cpu")
 if platform == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The TPU plugin environment may have imported jax already (via
+    # sitecustomize), so env JAX_PLATFORMS is too late — use config.update
+    # before the first backend use.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
