@@ -1,0 +1,203 @@
+"""Web demos: MJPEG stream + in-browser webcam detection page.
+
+Covers both reference web surfaces in one server:
+
+  * `/cam`    — annotated MJPEG multipart stream from a server-side source
+                (reference examples/web/main.go:71-160, which pipes webcam
+                frames through detection and re-encodes them).
+  * `/`       — browser webcam page: getUserMedia -> canvas -> POST frames to
+                /detect -> draw results client-side, with the reference WASM
+                demo's keybindings (reference wasm/canvas/canvas.go:256-282):
+                e = eyes, f = landmarks, c = boxes; plus an FPS meter.
+  * `/detect` — POST image bytes -> JSON detection results (the reference
+                JSON schema, cmd/pigo/main.go:89-100).
+
+    python examples/web/main.py --source video.mp4 --port 5000
+"""
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from common import build_argparser, make_engine
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>pigo-tpu web demo</title><style>
+body { background: #111; color: #eee; font-family: monospace; text-align: center }
+canvas { border: 1px solid #444 }
+</style></head><body>
+<h3>pigo-tpu — browser webcam detection</h3>
+<p>keys: <b>c</b> boxes | <b>e</b> pupils | <b>f</b> landmarks &nbsp;
+<span id="fps">0</span> FPS</p>
+<video id="v" autoplay playsinline style="display:none"></video>
+<canvas id="cv" width="640" height="480"></canvas>
+<p>No webcam? Watch the server-side stream at <a href="/cam">/cam</a>.</p>
+<script>
+const v = document.getElementById('v'), cv = document.getElementById('cv');
+const ctx = cv.getContext('2d');
+let show = {c: true, e: true, f: true};
+document.addEventListener('keypress', ev => {
+  if (ev.key in show) show[ev.key] = !show[ev.key];
+});
+let last = performance.now(), frames = 0;
+async function loop() {
+  ctx.drawImage(v, 0, 0, cv.width, cv.height);
+  const blob = await new Promise(r => cv.toBlob(r, 'image/jpeg', 0.7));
+  const resp = await fetch('/detect', {method: 'POST', body: blob});
+  const dets = await resp.json();
+  ctx.drawImage(v, 0, 0, cv.width, cv.height);
+  ctx.lineWidth = 2;
+  for (const d of dets) {
+    const f = d.face;
+    if (show.c) { ctx.strokeStyle = 'red';
+      ctx.strokeRect(f.x || 0, f.y || 0, f.size, f.size); }
+    if (show.e) for (const e of (d.eyes || [])) {
+      ctx.fillStyle = 'red';
+      ctx.beginPath(); ctx.arc(e.x, e.y, 3, 0, 7); ctx.fill(); }
+    if (show.f) for (const p of (d.landmark_points || [])) {
+      ctx.fillStyle = 'aqua';
+      ctx.beginPath(); ctx.arc(p.x, p.y, 2, 0, 7); ctx.fill(); }
+  }
+  frames++;
+  const now = performance.now();
+  if (now - last > 1000) {
+    document.getElementById('fps').textContent = (frames * 1000 / (now - last)).toFixed(1);
+    frames = 0; last = now;
+  }
+  requestAnimationFrame(loop);
+}
+navigator.mediaDevices.getUserMedia({video: true}).then(s => {
+  v.srcObject = s; v.onloadedmetadata = () => loop();
+}).catch(e => document.body.innerHTML += '<p>webcam unavailable: ' + e + '</p>');
+</script></body></html>
+"""
+
+
+def results_to_json(results):
+    """Reference JSON schema: x = column of the box corner, y = row."""
+    out = []
+    for res in results:
+        r, c, s, _q = res["face"]
+        d = {"face": {"x": c - s // 2, "y": r - s // 2, "size": s}}
+        if res["eyes"]:
+            d["eyes"] = [
+                {"x": int(e[1]), "y": int(e[0]), "size": int(e[2])}
+                for e in res["eyes"]
+            ]
+        if res["landmarks"]:
+            d["landmark_points"] = [
+                {"x": int(p[1]), "y": int(p[0]), "size": int(p[2])}
+                for p in res["landmarks"]
+            ]
+        out.append(d)
+    return out
+
+
+def annotate(cv2, frame, results):
+    for res in results:
+        r, c, s = (int(v) for v in res["face"][:3])
+        cv2.rectangle(frame, (c - s // 2, r - s // 2), (c + s // 2, r + s // 2),
+                      (0, 0, 255), 2)
+        for e in res["eyes"]:
+            cv2.circle(frame, (int(e[1]), int(e[0])), 3, (0, 0, 255), -1)
+        for p in res["landmarks"]:
+            cv2.circle(frame, (int(p[1]), int(p[0])), 2, (255, 255, 0), -1)
+
+
+def make_handler(engine, args, lock):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # request log like wasm/http/serve.go:45
+            sys.stderr.write("%s - %s\n" % (self.address_string(), fmt % a))
+
+        def do_GET(self):
+            if self.path == "/":
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/cam":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                cap = cv2.VideoCapture(
+                    int(args.source) if args.source.isdigit() else args.source)
+                try:
+                    while True:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        with lock:
+                            results = engine.detect(
+                                frame, min_size=args.min_size,
+                                max_size=args.max_size, shift=args.shift,
+                                scale=args.scale, iou=args.iou)
+                        annotate(cv2, frame, results)
+                        ok, jpg = cv2.imencode(".jpg", frame)
+                        if not ok:
+                            continue
+                        self.wfile.write(b"--frame\r\n")
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n\r\n")
+                        self.wfile.write(jpg.tobytes())
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                finally:
+                    cap.release()
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self.send_error(404)
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(n)
+            buf = np.frombuffer(data, dtype=np.uint8)
+            frame = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if frame is None:
+                self.send_error(400, "bad image")
+                return
+            with lock:
+                results = engine.detect(
+                    frame, min_size=args.min_size, max_size=args.max_size,
+                    shift=args.shift, scale=args.scale, iou=args.iou)
+            body = json.dumps(results_to_json(results)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    p = build_argparser(__doc__)
+    p.add_argument("--port", type=int, default=5000)
+    args = p.parse_args()
+    engine = make_engine(args.engine, with_pupils=True, with_landmarks=True)
+    lock = threading.Lock()  # engines are not re-entrant; serialize detects
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port),
+                              make_handler(engine, args, lock))
+    print(f"serving on http://localhost:{args.port}  (page: /, stream: /cam)",
+          file=sys.stderr)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
