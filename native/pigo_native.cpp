@@ -558,6 +558,42 @@ int64_t pigo_face_run(void* h, const uint8_t* pixels, int rows, int cols,
   return n;
 }
 
+// Scan an explicit list of pyramid scales (same loop bounds as
+// pigo_face_run). Used by the TPU pipeline to route sparse tail scales
+// (few windows, poor tile utilization on the device) to the host engine,
+// overlapped with the device computation.
+int64_t pigo_face_run_scales(void* h, const uint8_t* pixels, int rows,
+                             int cols, int dim, const int32_t* scales,
+                             int64_t n_scales, double shift, double angle,
+                             double* out, int64_t cap) {
+  const auto& f = *static_cast<FaceForest*>(h);
+  if (angle > 1.0) angle = 1.0;
+  std::vector<Detection> dets;
+  for (int64_t si = 0; si < n_scales; ++si) {
+    int scale = scales[si];
+    int step = std::max(int(shift * scale), 1);
+    int offset = (scale >> 1) + 1;
+    for (int r = offset; r <= rows - offset; r += step) {
+      for (int c = offset; c <= cols - offset; c += step) {
+        float q = (angle > 0.0)
+                      ? classify_rotated_region(f, r, c, scale, angle, rows,
+                                                pixels, dim)
+                      : classify_region(f, r, c, scale, pixels, dim);
+        if (q > 0.f) dets.push_back({r, c, scale, q});
+      }
+    }
+  }
+  int64_t n = int64_t(dets.size());
+  int64_t m = std::min(n, cap);
+  for (int64_t i = 0; i < m; ++i) {
+    out[4 * i + 0] = dets[i].row;
+    out[4 * i + 1] = dets[i].col;
+    out[4 * i + 2] = dets[i].scale;
+    out[4 * i + 3] = dets[i].q;
+  }
+  return n;
+}
+
 // IoU clustering over (row, col, scale, q) rows. Returns cluster count,
 // writing up to cap clusters into out.
 int64_t pigo_cluster(const double* dets, int64_t n, double iou_threshold,

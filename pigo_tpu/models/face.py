@@ -36,9 +36,20 @@ class FaceCascade:
         block: int = face_dense.TREE_BLOCK,
         backend: str = "pallas",
         interpret: bool | None = None,
+        raw: bytes | None = None,
     ):
         ensure_compilation_cache()
-        self.forest = forest if forest is not None else load_facefinder()
+        if forest is None:
+            from pigo_tpu.cascade.assets import asset_path
+            with open(asset_path("cascade", "facefinder"), "rb") as fh:
+                raw = fh.read()
+            forest = unpack_face_cascade(raw)
+        self.forest = forest
+        # Raw cascade bytes let the host tail engine share the exact model;
+        # None (custom in-memory forest) disables the native tail path.
+        self._raw = raw
+        self._native = None
+        self._native_failed = False
         self.block = block
         self.backend = backend
         # Pallas interpret mode: automatic on non-TPU backends (CPU tests).
@@ -61,10 +72,11 @@ class FaceCascade:
         self.thresh_last = jnp.float32(self.forest.thresh[self.forest.num_trees - 1])
         self._gather_plans: dict[tuple, tuple[WindowPlan, dict[str, jax.Array]]] = {}
         self._dense_plans: dict[tuple, tuple[face_pallas.DensePlan, object]] = {}
+        self._batch_fns: dict[tuple, object] = {}
 
     @classmethod
     def from_bytes(cls, packet: bytes, **kw) -> "FaceCascade":
-        return cls(unpack_face_cascade(packet), **kw)
+        return cls(unpack_face_cascade(packet), raw=packet, **kw)
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "FaceCascade":
@@ -188,6 +200,58 @@ class FaceCascade:
         self._dense_plans[key] = entry
         return entry
 
+    # ---------------------------------------------------------- native tail
+
+    def _native_tail(self):
+        """Host C++ engine for the sparse tail scales (see
+        ops/face_pallas.TAIL_MIN_WINDOWS); None when unavailable/disabled."""
+        import os
+
+        if (
+            self._native_failed
+            or self._raw is None
+            or os.environ.get("PIGO_TPU_NO_NATIVE")
+        ):
+            return None
+        if self._native is None:
+            try:
+                from pigo_tpu.native import NativeFaceCascade
+
+                self._native = NativeFaceCascade(self._raw)
+            except Exception:
+                self._native_failed = True
+                return None
+        return self._native
+
+    def _fallback_hits(self, img2d, plan, rows, cols, min_size, max_size,
+                       shift_factor, scale_factor) -> np.ndarray:
+        """Hits for the plan's fallback scales: host C++ engine when
+        available (overlaps the in-flight device computation), otherwise the
+        exact gather kernel. Returns [N, 4] float64 rows."""
+        fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
+        nat = self._native_tail()
+        if nat is not None:
+            return nat.run_scales(
+                np.asarray(img2d).ravel(), rows, cols,
+                np.asarray(fb_scales, np.int32), shift_factor=shift_factor,
+            )
+        fb_plan, fb_q = self._gather_scores(
+            img2d.reshape(-1), rows, cols, cols, min_size, max_size,
+            shift_factor, scale_factor, 0.0, fb_scales,
+        )
+        fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
+        hit = fb_q > 0.0
+        n = fb_plan.num_windows
+        return np.stack(
+            [
+                fb_plan.rows_w[:n][hit].astype(np.float64),
+                fb_plan.cols_w[:n][hit].astype(np.float64),
+                fb_plan.scales[fb_plan.scale_idx[:n][hit]].astype(np.float64),
+                fb_q[hit].astype(np.float64),
+            ],
+            axis=1,
+        )
+
     # ------------------------------------------------------------- detection
 
     def window_scores(
@@ -259,17 +323,52 @@ class FaceCascade:
         Returns [N, 4] (row, col, scale, q) with q > 0, reference scan order.
         Only ships the sparse hit list over the host link (the full dense
         score vector stays on device)."""
+        return self._collect_single(
+            self._dispatch_single(pixels, rows, cols, min_size, max_size,
+                                  shift_factor, scale_factor)
+        )
+
+    def _dispatch_single(self, pixels, rows, cols, min_size, max_size,
+                         shift_factor, scale_factor):
+        """Async half of sparse_hits: H2D + kernel dispatch + D2H enqueue are
+        all non-blocking; the host tail engine runs while the device works.
+        Returns an opaque ticket for _collect_single."""
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor
         )
         if plan.num_windows == 0:  # image smaller than the minimum face size
-            return np.zeros((0, 4), dtype=np.float64)
+            return (None, None, plan, d2g, dense_fn_full, None)
         img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        if d2g.size == 0:  # every scale routed to the fallback engine
+            fut = None
+        else:
+            fut = dense_fn(img2d)  # async dispatch; fetch after the tail
+            try:
+                fut.copy_to_host_async()
+            except AttributeError:
+                pass
+        fb = None
+        if plan.has_fallback:
+            # Host pixels for the tail engine WITHOUT a device round trip:
+            # only fetch img2d when the caller handed us a device array.
+            host_pix = (
+                pixels if isinstance(pixels, np.ndarray)
+                else np.asarray(img2d)
+            )
+            fb = self._fallback_hits(host_pix, plan, rows, cols, min_size,
+                                     max_size, shift_factor, scale_factor)
+        return (fut, fb, plan, d2g, dense_fn_full, img2d)
+
+    def _collect_single(self, ticket) -> np.ndarray:
+        """Blocking half of sparse_hits: fetch + unpack + tail merge."""
+        fut, fb, plan, d2g, dense_fn_full, img2d = ticket
+        if plan.num_windows == 0:
+            return np.zeros((0, 4), dtype=np.float64)
         cap = self.HIT_CAPACITY
-        if d2g.size == 0:  # every scale routed to the gather fallback
+        if fut is None:
             packed = np.zeros(1 + 2 * cap, np.float32)
         else:
-            packed = np.asarray(dense_fn(img2d))
+            packed = np.asarray(fut)
         count = int(packed[0])
         if count > cap:  # capacity overflow: dense re-read (rare)
             q_dense = np.asarray(dense_fn_full(img2d))
@@ -291,34 +390,144 @@ class FaceCascade:
             ],
             axis=1,
         )
+        if fb is not None and fb.shape[0]:
+            # Merge keeping reference scan order (scale-major): both lists
+            # are already scale-major; a stable sort on scale restores the
+            # global order since within-scale order is preserved.
+            dets = np.concatenate([dets, fb])
+            order = np.argsort(dets[:, 2], kind="stable")
+            dets = dets[order]
+        return dets
+
+    def _dispatch_batch(self, frames, min_size, max_size, shift_factor,
+                        scale_factor):
+        """Async half of the batched fast path: dispatch the vmapped dense
+        kernels (non-blocking) and run the host tail engine. Returns an
+        opaque ticket for _collect_batch."""
+        frames_in = frames
+        frames = jnp.asarray(frames, jnp.uint8)
+        b, rows, cols = frames.shape
+        key = (rows, cols, min_size, max_size, shift_factor, scale_factor)
+        plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
+            rows, cols, min_size, max_size, shift_factor, scale_factor
+        )
+        if plan.num_windows == 0:
+            return (None, None, None, b, plan, d2g, dense_fn_full, frames)
+        batch_fn = self._batch_fns.get(key)
+        if batch_fn is None:
+            batch_fn = jax.jit(jax.vmap(dense_fn))
+            self._batch_fns[key] = batch_fn
+        fut = batch_fn(frames) if d2g.size else None  # async dispatch
+        if fut is not None:
+            try:
+                fut.copy_to_host_async()
+            except AttributeError:  # older jax Array without async copy
+                pass
+        fbs = None
         if plan.has_fallback:
-            fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
-            fb_plan, fb_q = self._gather_scores(
-                img2d.reshape(-1), rows, cols, cols, min_size, max_size,
-                shift_factor, scale_factor, 0.0, fb_scales,
+            # Host copy for the tail engine without a device round trip.
+            host_frames = (
+                frames_in if isinstance(frames_in, np.ndarray)
+                else np.asarray(frames)
             )
-            fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
-            hit = fb_q > 0.0
-            if hit.any():
-                n = fb_plan.num_windows
-                fb = np.stack(
-                    [
-                        fb_plan.rows_w[:n][hit].astype(np.float64),
-                        fb_plan.cols_w[:n][hit].astype(np.float64),
-                        fb_plan.scales[fb_plan.scale_idx[:n][hit]].astype(
-                            np.float64
-                        ),
-                        fb_q[hit].astype(np.float64),
-                    ],
-                    axis=1,
-                )
-                # Merge keeping reference scan order (scale-major): both lists
-                # are already scale-major; a stable sort on scale restores the
-                # global order since within-scale order is preserved.
-                dets = np.concatenate([dets, fb])
+            fbs = [
+                self._fallback_hits(host_frames[i], plan, rows, cols,
+                                    min_size, max_size, shift_factor,
+                                    scale_factor)
+                for i in range(b)
+            ]
+        return (fut, fbs, None, b, plan, d2g, dense_fn_full, frames)
+
+    def _collect_batch(self, ticket) -> list[np.ndarray]:
+        """Blocking half: fetch the packed hit lists and unpack per frame."""
+        fut, fbs, _, b, plan, d2g, dense_fn_full, frames = ticket
+        cap = self.HIT_CAPACITY
+        if plan.num_windows == 0:
+            return [np.zeros((0, 4), dtype=np.float64) for _ in range(b)]
+        packed = (
+            np.asarray(fut) if fut is not None
+            else np.zeros((b, 1 + 2 * cap), np.float32)
+        )
+        out = []
+        for i in range(b):
+            count = int(packed[i, 0])
+            if count > cap:  # capacity overflow: dense re-read (rare)
+                q_dense = np.asarray(dense_fn_full(frames[i]))
+                sel = q_dense > 0.0
+                idx_valid = np.nonzero(sel)[0]
+                qv_valid = q_dense[sel]
+            else:
+                idx = packed[i, 1 : 1 + cap].astype(np.int64)
+                valid = idx >= 0
+                idx_valid = idx[valid]
+                qv_valid = packed[i, 1 + cap :][valid].astype(np.float32)
+            gidx = d2g[idx_valid] if d2g.size else idx_valid
+            dets = np.stack(
+                [
+                    plan.rows_w[gidx].astype(np.float64),
+                    plan.cols_w[gidx].astype(np.float64),
+                    plan.scale_w[gidx].astype(np.float64),
+                    qv_valid.astype(np.float64),
+                ],
+                axis=1,
+            )
+            if fbs is not None and fbs[i].shape[0]:
+                dets = np.concatenate([dets, fbs[i]])
                 order = np.argsort(dets[:, 2], kind="stable")
                 dets = dets[order]
-        return dets
+            out.append(dets)
+        return out
+
+    def sparse_hits_batch(
+        self,
+        frames: np.ndarray | jax.Array,  # [B, rows, cols] uint8
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+    ) -> list[np.ndarray]:
+        """Batched fast path: one device dispatch + one host fetch for B
+        frames (vmapped dense kernels + hit compaction). The per-call host
+        dispatch and transfer latency is amortized over the batch — this is
+        the throughput-serving entry point. Returns per-frame [Ni, 4]
+        (row, col, scale, q) lists, reference scan order."""
+        return self._collect_batch(
+            self._dispatch_batch(frames, min_size, max_size, shift_factor,
+                                 scale_factor)
+        )
+
+    def stream_hits(
+        self,
+        frames,  # iterable of [rows, cols] uint8 frames
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+        depth: int = 8,
+    ):
+        """Streaming pipeline: keeps up to `depth` frames in flight so H2D
+        uploads, kernels, and D2H hit-list copies all overlap; the host tail
+        engine runs under the device compute. Yields per-frame [Ni, 4] hit
+        arrays in input order. This is the serving loop for realtime
+        pipelines (the reference's WASM render loop equivalent,
+        wasm/canvas/canvas.go:69-112); steady-state throughput is bounded by
+        device compute, not by the host link latency."""
+        import collections
+
+        kw = dict(min_size=min_size, max_size=max_size,
+                  shift_factor=shift_factor, scale_factor=scale_factor)
+        inflight: collections.deque = collections.deque()
+        for frame in frames:
+            rows, cols = frame.shape[-2], frame.shape[-1]
+            inflight.append(
+                self._dispatch_single(frame, rows, cols, **kw)
+            )
+            if len(inflight) >= depth:
+                yield self._collect_single(inflight.popleft())
+        while inflight:
+            yield self._collect_single(inflight.popleft())
 
     def run_cascade(
         self,

@@ -77,6 +77,12 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, f64p, ctypes.c_int64,
     ]
+    lib.pigo_face_run_scales.restype = ctypes.c_int64
+    lib.pigo_face_run_scales.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, f64p, ctypes.c_int64,
+    ]
     lib.pigo_cluster.restype = ctypes.c_int64
     lib.pigo_cluster.argtypes = [f64p, ctypes.c_int64, ctypes.c_double, f64p,
                                  ctypes.c_int64]
@@ -184,6 +190,26 @@ class NativeFaceCascade:
             n = self._lib.pigo_face_run(
                 self._h, _u8ptr(pix), rows, cols, dim, min_size, max_size,
                 shift_factor, scale_factor, angle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
+            if n <= cap:
+                return out[:n].copy()
+            cap = int(n)
+
+    def run_scales(self, pixels: np.ndarray, rows: int, cols: int,
+                   scales: np.ndarray, *, dim: int | None = None,
+                   shift_factor: float = 0.1,
+                   angle: float = 0.0) -> np.ndarray:
+        """Scan an explicit scale list -> [N, 4] (row, col, scale, q)."""
+        dim = cols if dim is None else dim
+        pix = np.ascontiguousarray(pixels, dtype=np.uint8).ravel()
+        sc = np.ascontiguousarray(scales, dtype=np.int32)
+        cap = 4096
+        while True:
+            out = np.empty((cap, 4), dtype=np.float64)
+            n = self._lib.pigo_face_run_scales(
+                self._h, _u8ptr(pix), rows, cols, dim,
+                sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sc.size,
+                shift_factor, angle,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
             if n <= cap:
                 return out[:n].copy()

@@ -61,6 +61,11 @@ SUBLANE = 8
 CHUNK = 2 * LANE  # plane chunk width (max reliable dynamic-roll vector)
 # VMEM budget for one scale's chunked planes (bytes).
 PLANES_VMEM_BUDGET = 12 * 1024 * 1024
+# Scales with fewer real windows than one 8x128 tile are routed to a fallback
+# engine: their tiles are mostly padding, yet large-scale windows survive the
+# soft cascade longest (measured: the <1024-window tail is ~35% of all
+# tile-tree-steps for the 320x400 headline pyramid but <1.5% of the windows).
+TAIL_MIN_WINDOWS = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -156,6 +161,18 @@ def build_dense_plan(
         cws.append(np.tile(cc, nr_real))
         sws.append(np.full(nr_real * nc_real, scale, np.int32))
 
+        if nr_real * nc_real < TAIL_MIN_WINDOWS:
+            plans.append(
+                ScalePlan(
+                    scale=scale, step=k, eval_step=k, subsample=1,
+                    offset=offset, nr=nr_real, nc=nc_real, nr_real=nr_real,
+                    nc_real=nc_real, prg=0, chunk_stride=0, n_chunks=0,
+                    n_row_tiles=0, n_col_tiles=0, total_rows=0,
+                    tables=np.zeros((0,), np.int32), fallback=True,
+                )
+            )
+            continue
+
         # Largest divisor of k whose plane layout fits VMEM wins: it minimizes
         # the fine-grid blowup m^2 (reads may spill across plane boundaries
         # into unused rows, so planes carry no per-plane margin — only one
@@ -250,7 +267,14 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
     SMEM inputs: meta [3] = (nr, nc, chunk_stride R); tables
     [T*(2^depth-1)*2] packed nodes; preds [T*2^depth]; thresh [T].
     VMEM: planes [n_chunks*R + tail (1024-bucketed), 256].
+
+    The while_loop body evaluates CHUNK_TREES trees per iteration (largest of
+    4/2/1 dividing t_num): the loop-condition min-reduction over the fail
+    mask costs more than the <=3 extra trees a tile may overshoot, and the
+    overshoot cannot change results (the fail mask is sticky and the f32
+    running sum is only read at the recorded exit state).
     """
+    chunk_trees = 4 if t_num % 4 == 0 else (2 if t_num % 2 == 0 else 1)
 
     def kernel(meta_ref, tables_ref, preds_ref, thresh_ref, planes_ref, q_ref):
         tr = pl.program_id(0)
@@ -278,8 +302,7 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
 
         nleaf = 2 ** depth
 
-        def tree_step(carry):
-            t, out, fail = carry
+        def one_tree(t, out, fail):
             base = t * (nleaf - 1)
             bits = []
             for n in range(1, nleaf):
@@ -304,7 +327,13 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
                 ]
             out = out + vals[0]
             fail = jnp.maximum(fail, (out <= thresh_ref[t]).astype(jnp.float32))
-            return t + 1, out, fail
+            return out, fail
+
+        def tree_step(carry):
+            t, out, fail = carry
+            for j in range(chunk_trees):
+                out, fail = one_tree(t + j, out, fail)
+            return t + chunk_trees, out, fail
 
         def cond(carry):
             t, _, fail = carry

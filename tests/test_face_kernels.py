@@ -60,7 +60,9 @@ def test_pallas_interpret_single_scale(fc_pallas, sample_gray, face_forest):
     from pigo_tpu.ops import face_pallas as fp
 
     rows, cols = sample_gray.shape
-    plan = fp.build_dense_plan(face_forest, rows, cols, 150, 170, 0.4, 1.3)
+    # min 150 at shift 0.4 yields <1024 windows on this image, which the
+    # planner routes to the tail fallback; 60 at shift 0.1 stays dense.
+    plan = fp.build_dense_plan(face_forest, rows, cols, 60, 70, 0.1, 1.3)
     sps = [sp for sp in plan.scales if not sp.fallback]
     assert sps, "expected at least one dense scale"
     sp = sps[0]
@@ -98,3 +100,43 @@ def test_tiny_image_no_windows(fc_pallas):
     tiny = np.zeros((10, 10), np.uint8)
     dets = fc_pallas.run_cascade(tiny, 10, 10)
     assert dets.shape == (0, 4)
+
+
+def test_sparse_hits_batch_exact(sample_gray, face_forest):
+    """Batched fast path must match per-frame run_cascade exactly, including
+    frames that differ (vmap correctness) and the native/gather tail merge."""
+    fc = FaceCascade(face_forest, backend="pallas")
+    rows, cols = sample_gray.shape
+    cfg = dict(min_size=60, max_size=400, shift_factor=0.2,
+               scale_factor=1.3)
+    shifted = np.roll(sample_gray, 7, axis=1)
+    frames = np.stack([sample_gray, shifted, sample_gray])
+    outs = fc.sparse_hits_batch(frames, **cfg)
+    assert len(outs) == 3
+    for frame, dets in zip(frames, outs):
+        want = fc.run_cascade(frame, rows, cols, **cfg)
+        assert np.array_equal(dets, want)
+    assert np.array_equal(outs[0], outs[2])
+
+
+def test_native_tail_matches_gather_tail(sample_gray, face_forest, monkeypatch):
+    """Tail scales produce identical hits through the host C++ engine and
+    the gather kernel (PIGO_TPU_NO_NATIVE toggles the route)."""
+    rows, cols = sample_gray.shape
+    cfg = dict(min_size=100, max_size=300, shift_factor=0.2,
+               scale_factor=1.25)
+    from pigo_tpu.cascade.assets import asset_path
+    with open(asset_path("cascade", "facefinder"), "rb") as fh:
+        raw = fh.read()
+    fc_nat = FaceCascade.from_bytes(raw, backend="pallas")
+    plan, *_ = fc_nat._dense_plan(rows, cols, cfg["min_size"],
+                                  cfg["max_size"], cfg["shift_factor"],
+                                  cfg["scale_factor"])
+    assert plan.has_fallback, "config should exercise the tail route"
+    dets_nat = fc_nat.run_cascade(sample_gray, rows, cols, **cfg)
+    assert fc_nat._native is not None, "native tail engine was not used"
+    monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
+    fc_gather = FaceCascade.from_bytes(raw, backend="pallas")
+    dets_gather = fc_gather.run_cascade(sample_gray, rows, cols, **cfg)
+    assert fc_gather._native is None
+    assert np.array_equal(dets_nat, dets_gather)
