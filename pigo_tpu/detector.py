@@ -23,6 +23,7 @@ import dataclasses
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from pigo_tpu.models.face import FaceCascade
 from pigo_tpu.models.landmark import LandmarkLocalizer
@@ -104,6 +105,75 @@ class FaceResult:
         return out
 
 
+def _fused_post_impl(
+    key, frows, fcols, fscales, pixels,
+    pcodes, ppreds, lcodes, lpreds,
+    *, f, perturbs, rows, cols, dim, angle_idx, rotated,
+    pupil_geom, lmk_geom, lmk_cids, lmk_flips,
+):
+    """Eyes + landmarks for F faces as ONE XLA program.
+
+    The eye-anchor geometry (cmd/pigo/main.go:416-458), both perturbation
+    ensembles, the landmark anchor (core/flploc.go:37-43), and all medians
+    run on device; the host receives a single [3, 2F + 15F] result. On a
+    high-latency host link this collapses the per-face call cascade of the
+    reference (2 + 15 sequential RunDetector calls) into one round trip."""
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_dense
+
+    k_eyes, k_lmk = jax.random.split(key)
+    npts = lmk_cids.shape[0] // f if f else 0
+
+    # ---- eye anchors + ensemble ----
+    s = fscales.astype(jnp.float32)
+    erow = jnp.repeat(frows.astype(jnp.float32)
+                      - jnp.trunc(jnp.float32(0.075) * s), 2)
+    off_l = jnp.trunc(jnp.float32(0.175) * s)
+    off_r = jnp.trunc(jnp.float32(0.185) * s)
+    ecol = jnp.stack(
+        [fcols.astype(jnp.float32) - off_l,
+         fcols.astype(jnp.float32) + off_r], axis=1
+    ).reshape(-1)
+    escale = jnp.repeat(s * jnp.float32(0.25), 2)
+    u_eyes = jax.random.uniform(k_eyes, (2 * f, perturbs, 3), jnp.float32)
+    sg, tg, dg, mg = pupil_geom
+    eyes = pupil_dense._ensemble_impl(
+        pcodes, ppreds, jnp.zeros(2 * f, jnp.int32), erow, ecol, escale,
+        jnp.zeros(2 * f, bool), u_eyes, pixels,
+        stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols, dim=dim,
+        scale_mult=mg, rotated=rotated, angle_idx=angle_idx,
+    )  # [3, 2F]
+
+    # ---- landmark anchors from the voted pupils ----
+    # truncate the voted medians like the host Puploc(int(row), int(col))
+    # construction before the anchor geometry (core/flploc.go:37-43)
+    ler, lec = jnp.trunc(eyes[0, 0::2]), jnp.trunc(eyes[1, 0::2])
+    rer, rec = jnp.trunc(eyes[0, 1::2]), jnp.trunc(eyes[1, 1::2])
+    dist = jnp.sqrt((ler - rer) ** 2 + (lec - rec) ** 2)
+    arow = jnp.trunc((ler + rer) / 2.0 + 0.25 * dist)
+    acol = jnp.trunc((lec + rec) / 2.0 + 0.15 * dist)
+    ascale = 3.0 * dist
+    u_lmk = jax.random.uniform(k_lmk, (f * npts, perturbs, 3), jnp.float32)
+    sg, tg, dg, mg = lmk_geom
+    lmk = pupil_dense._ensemble_impl(
+        lcodes, lpreds, lmk_cids,
+        jnp.repeat(arow, npts), jnp.repeat(acol, npts),
+        jnp.repeat(ascale, npts), lmk_flips, u_lmk, pixels,
+        stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols, dim=dim,
+        scale_mult=mg, rotated=False, angle_idx=0,
+    )  # [3, F*npts]
+    return jnp.concatenate([eyes, lmk], axis=1)  # [3, 2F + F*npts]
+
+
+_fused_post = jax.jit(
+    _fused_post_impl,
+    static_argnames=(
+        "f", "perturbs", "rows", "cols", "dim", "angle_idx", "rotated",
+        "pupil_geom", "lmk_geom",
+    ),
+)
+
+
 class FaceDetector:
     """End-to-end detector; loads the bundled cascades by default."""
 
@@ -161,51 +231,100 @@ class FaceDetector:
         perturbs: int = PERTURBS,
         key: jax.Array | None = None,
     ) -> list[FaceResult]:
-        """Full pipeline: faces, then eyes + landmarks per qualifying face."""
+        """Full pipeline: faces, then eyes + landmarks per qualifying face.
+
+        All eye anchors of the frame are refined in ONE vectorized walk, then
+        all landmark points of all faces in another — two device dispatches
+        per frame regardless of face count (the reference makes
+        2 + 15 sequential RunDetector calls per face,
+        cmd/pigo/main.go:422-564)."""
         faces = self.detect_faces(gray, rows, cols, params, angle, iou_threshold)
         key = key if key is not None else jax.random.PRNGKey(0)
-        results: list[FaceResult] = []
-        for face in faces:
-            if face.q <= Q_THRESH:
-                continue
-            res = FaceResult(face=face)
-            if (
-                self.pupil is not None
-                and face.scale > MIN_EYE_FACE_SCALE
-            ):
-                key, k1, k2, k3 = jax.random.split(key, 4)
-                s = face.scale
-                left = self.pupil.run_detector(
-                    Puploc(
-                        row=face.row - int(0.075 * s),
-                        col=face.col - int(0.175 * s),
-                        scale=float(s) * 0.25,
-                        perturbs=perturbs,
-                    ),
-                    gray, rows, cols, angle=angle, key=k1,
-                )
-                right = self.pupil.run_detector(
-                    Puploc(
-                        row=face.row - int(0.075 * s),
-                        col=face.col + int(0.185 * s),
-                        scale=float(s) * 0.25,
-                        perturbs=perturbs,
-                    ),
-                    gray, rows, cols, angle=angle, key=k2,
-                )
-                if left.row > 0 and left.col > 0:
-                    res.eyes.append(left)
-                if right.row > 0 and right.col > 0:
-                    res.eyes.append(right)
-                if (
-                    self.landmarks is not None
-                    and left.row > 0 and left.col > 0
-                    and right.row > 0 and right.col > 0
-                ):
-                    pts = self.landmarks.detect_points(
-                        left, right, gray, rows, cols,
-                        perturbs=perturbs, key=k3,
-                    )
-                    res.landmarks = [p for p in pts if p.row > 0 and p.col > 0]
-            results.append(res)
+        results = [
+            FaceResult(face=face) for face in faces if face.q > Q_THRESH
+        ]
+        if self.pupil is None:
+            return results
+        eyed = [
+            res for res in results if res.face.scale > MIN_EYE_FACE_SCALE
+        ]
+        if not eyed:
+            return results
+        key, k_post = jax.random.split(key)
+        if self.landmarks is not None:
+            self._detect_fused(eyed, gray, rows, cols, angle, perturbs, k_post)
+            return results
+        # pupils-only configuration
+        anchors = []
+        for res in eyed:
+            face = res.face
+            s = face.scale
+            anchors.append(Puploc(
+                row=face.row - int(0.075 * s),
+                col=face.col - int(0.175 * s),
+                scale=float(s) * 0.25, perturbs=perturbs,
+            ))
+            anchors.append(Puploc(
+                row=face.row - int(0.075 * s),
+                col=face.col + int(0.185 * s),
+                scale=float(s) * 0.25, perturbs=perturbs,
+            ))
+        eyes = self.pupil.run_detector_multi(
+            anchors, gray, rows, cols, angle=angle, key=k_post
+        )
+        for i, res in enumerate(eyed):
+            for e in (eyes[2 * i], eyes[2 * i + 1]):
+                if e.row > 0 and e.col > 0:
+                    res.eyes.append(e)
         return results
+
+    def _detect_fused(self, eyed, gray, rows, cols, angle, perturbs, key):
+        """Eyes + landmarks for all qualifying faces in one device call."""
+        import numpy as np
+
+        f = len(eyed)
+        pg = self.pupil.forest
+        lg = self.landmarks.geometry
+        sched = self.landmarks.point_schedule
+        npts = len(sched)
+        lmk_cids = np.tile(
+            np.array([self.landmarks._name_to_id[n] for n, _ in sched],
+                     np.int32), f)
+        lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
+        rotated = angle > 0.0
+        angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        out = np.asarray(_fused_post(
+            key,
+            jnp.asarray([r.face.row for r in eyed], jnp.float32),
+            jnp.asarray([r.face.col for r in eyed], jnp.float32),
+            jnp.asarray([r.face.scale for r in eyed], jnp.float32),
+            jnp.asarray(gray, jnp.uint8).reshape(-1),
+            self.pupil.codes, self.pupil.preds,
+            self.landmarks.codes, self.landmarks.preds,
+            f=f, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
+            angle_idx=angle_idx, rotated=rotated,
+            pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
+            lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
+            lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
+        ))  # [3, 2F + F*npts], one round trip
+        eyes, lmk = out[:, : 2 * f], out[:, 2 * f :].reshape(3, f, npts)
+        for i, res in enumerate(eyed):
+            left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),
+                          scale=float(eyes[2, 2 * i]), perturbs=perturbs)
+            right = Puploc(row=int(eyes[0, 2 * i + 1]),
+                           col=int(eyes[1, 2 * i + 1]),
+                           scale=float(eyes[2, 2 * i + 1]), perturbs=perturbs)
+            if left.row > 0 and left.col > 0:
+                res.eyes.append(left)
+            if right.row > 0 and right.col > 0:
+                res.eyes.append(right)
+            if left.row > 0 and left.col > 0 and right.row > 0 and right.col > 0:
+                res.landmarks = [
+                    p for p in (
+                        Puploc(row=int(lmk[0, i, j]), col=int(lmk[1, i, j]),
+                               scale=float(lmk[2, i, j]), perturbs=perturbs)
+                        for j in range(npts)
+                    )
+                    if p.row > 0 and p.col > 0
+                ]
+        return eyed

@@ -117,14 +117,30 @@ class LandmarkLocalizer:
             u = jax.random.uniform(key, (perturbs, 3), jnp.float32)
         else:
             u = jnp.asarray(uniforms, jnp.float32)
-        r0, c0, s0 = pupil_dense.make_perturbations(
-            float(row), float(col), float(scale), u
+        med = self._ensemble(
+            np.array([self._name_to_id[name]], np.int32),
+            np.array([row], np.float32), np.array([col], np.float32),
+            np.array([scale], np.float32), np.array([flip_v], bool),
+            u[None], pixels, rows, cols, dim,
         )
-        cid = jnp.full((perturbs,), self._name_to_id[name], jnp.int32)
-        flips = jnp.full((perturbs,), flip_v, bool)
-        r, c, s = self.run_batch(cid, (r0, c0, s0), flips, pixels, rows, cols, dim)
-        rm, cm, sm = pupil_dense.median_vote(r, c, s, perturbs)
-        return Puploc(row=int(rm), col=int(cm), scale=float(sm), perturbs=perturbs)
+        return Puploc(row=int(med[0, 0]), col=int(med[1, 0]),
+                      scale=float(med[2, 0]), perturbs=perturbs)
+
+    def _ensemble(self, casc_id, rows0, cols0, scales0, flips, u, pixels,
+                  rows, cols, dim):
+        """One fused device call: jitter -> walk -> median. Returns np [3, G]."""
+        dim = cols if dim is None else dim
+        g = self.geometry
+        med = pupil_dense.ensemble(
+            self.codes, self.preds, jnp.asarray(casc_id),
+            jnp.asarray(rows0), jnp.asarray(cols0), jnp.asarray(scales0),
+            jnp.asarray(flips), jnp.asarray(u, jnp.float32),
+            jnp.asarray(pixels, jnp.uint8).reshape(-1),
+            stages=g.stages, trees=g.trees, depth=g.depth,
+            nrows=rows, ncols=cols, dim=dim,
+            scale_mult=float(g.scale_mult), rotated=False, angle_idx=0,
+        )
+        return np.asarray(med)  # one host transfer
 
     def detect_points(
         self,
@@ -138,30 +154,47 @@ class LandmarkLocalizer:
         key: jax.Array | None = None,
     ) -> list[Puploc]:
         """All 15 landmark points of one face in a single vectorized walk."""
-        row, col, scale = landmark_anchor(left_eye, right_eye)
+        return self.detect_points_multi(
+            [(left_eye, right_eye)], pixels, rows, cols, dim,
+            perturbs=perturbs, key=key,
+        )[0]
+
+    def detect_points_multi(
+        self,
+        eye_pairs: list[tuple[Puploc, Puploc]],
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        dim: int | None = None,
+        perturbs: int = 63,
+        key: jax.Array | None = None,
+    ) -> list[list[Puploc]]:
+        """The full 15-point schedule for F faces in ONE vectorized walk +
+        ONE host fetch (the multi-face serving entry point)."""
+        f = len(eye_pairs)
+        if f == 0:
+            return []
         npts = len(self.point_schedule)
+        anchors = np.array(
+            [landmark_anchor(le, re) for le, re in eye_pairs], np.float32
+        )  # [F, 3]
         key = key if key is not None else jax.random.PRNGKey(0)
-        u = jax.random.uniform(key, (npts, perturbs, 3), jnp.float32)
-        r0, c0, s0 = pupil_dense.make_perturbations(
-            float(row), float(col), float(scale), u
+        u = jax.random.uniform(key, (f * npts, perturbs, 3), jnp.float32)
+        cid = np.array(
+            [self._name_to_id[n] for n, _ in self.point_schedule], np.int32
         )
-        cid = jnp.asarray(
-            [self._name_to_id[n] for n, _ in self.point_schedule], jnp.int32
-        )[:, None].repeat(perturbs, 1)
-        flips = jnp.asarray([f for _, f in self.point_schedule], bool)[
-            :, None
-        ].repeat(perturbs, 1)
-        r, c, s = self.run_batch(
-            cid.reshape(-1), (r0.reshape(-1), c0.reshape(-1), s0.reshape(-1)),
-            flips.reshape(-1), pixels, rows, cols, dim,
-        )
-        rm, cm, sm = pupil_dense.median_vote(
-            r.reshape(npts, perturbs), c.reshape(npts, perturbs),
-            s.reshape(npts, perturbs), perturbs,
-        )
-        rm, cm, sm = np.asarray(rm), np.asarray(cm), np.asarray(sm)
+        flips = np.array([fl for _, fl in self.point_schedule], bool)
+        med = self._ensemble(
+            np.tile(cid, f),
+            np.repeat(anchors[:, 0], npts), np.repeat(anchors[:, 1], npts),
+            np.repeat(anchors[:, 2], npts), np.tile(flips, f),
+            u, pixels, rows, cols, dim,
+        ).reshape(3, f, npts)
         return [
-            Puploc(row=int(rm[i]), col=int(cm[i]), scale=float(sm[i]),
-                   perturbs=perturbs)
-            for i in range(npts)
+            [
+                Puploc(row=int(med[0, i, j]), col=int(med[1, i, j]),
+                       scale=float(med[2, i, j]), perturbs=perturbs)
+                for j in range(npts)
+            ]
+            for i in range(f)
         ]

@@ -100,10 +100,67 @@ class PupilLocalizer:
             u = jax.random.uniform(key, (p, 3), jnp.float32)
         else:
             u = jnp.asarray(uniforms, jnp.float32)
-        r0, c0, s0 = pupil_dense.make_perturbations(
-            float(pl.row), float(pl.col), float(pl.scale), u
+        med = self._ensemble(
+            np.zeros(1, np.int32),
+            np.array([pl.row], np.float32), np.array([pl.col], np.float32),
+            np.array([pl.scale], np.float32),
+            np.array([flip_v], bool), u[None], pixels, rows, cols, dim, angle,
         )
-        flips = jnp.full((p,), flip_v, bool)
-        r, c, s = self.run_batch((r0, c0, s0), flips, pixels, rows, cols, dim, angle)
-        rm, cm, sm = pupil_dense.median_vote(r, c, s, p)
-        return Puploc(row=int(rm), col=int(cm), scale=float(sm), perturbs=p)
+        return Puploc(row=int(med[0, 0]), col=int(med[1, 0]),
+                      scale=float(med[2, 0]), perturbs=p)
+
+    def _ensemble(self, casc_id, rows0, cols0, scales0, flips, u, pixels,
+                  rows, cols, dim, angle):
+        """One fused device call: jitter -> walk -> median. Returns np [3, G]."""
+        dim = cols if dim is None else dim
+        rotated = angle > 0.0
+        angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        med = pupil_dense.ensemble(
+            self.codes, self.preds, jnp.asarray(casc_id),
+            jnp.asarray(rows0), jnp.asarray(cols0), jnp.asarray(scales0),
+            jnp.asarray(flips), jnp.asarray(u, jnp.float32),
+            jnp.asarray(pixels, jnp.uint8).reshape(-1),
+            stages=self.forest.stages, trees=self.forest.trees,
+            depth=self.forest.depth, nrows=rows, ncols=cols, dim=dim,
+            scale_mult=float(self.forest.scale_mult),
+            rotated=rotated, angle_idx=angle_idx,
+        )
+        return np.asarray(med)  # one host transfer
+
+    def run_detector_multi(
+        self,
+        pls: list[Puploc],
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        dim: int | None = None,
+        angle: float = 0.0,
+        flips: list[bool] | None = None,
+        key: jax.Array | None = None,
+    ) -> list[Puploc]:
+        """All G anchors' ensembles in ONE vectorized walk + ONE host fetch.
+
+        Serving entry point: over a high-latency host<->device link the
+        per-call round trips dominate RunDetector, so a frame's pupils (and a
+        multi-face frame's 2F eye anchors) are refined together."""
+        g = len(pls)
+        if g == 0:
+            return []
+        p = pls[0].perturbs
+        if any(pl.perturbs != p for pl in pls):
+            raise ValueError("run_detector_multi requires uniform perturbs")
+        key = key if key is not None else jax.random.PRNGKey(0)
+        u = jax.random.uniform(key, (g, p, 3), jnp.float32)
+        med = self._ensemble(
+            np.zeros(g, np.int32),
+            np.array([pl.row for pl in pls], np.float32),
+            np.array([pl.col for pl in pls], np.float32),
+            np.array([pl.scale for pl in pls], np.float32),
+            np.zeros(g, bool) if flips is None else np.asarray(flips, bool),
+            u, pixels, rows, cols, dim, angle,
+        )
+        return [
+            Puploc(row=int(med[0, i]), col=int(med[1, i]),
+                   scale=float(med[2, i]), perturbs=p)
+            for i in range(g)
+        ]

@@ -73,25 +73,32 @@ def _walk_impl(
     base_c = casc_id * (stages * trees * leaves)
     smul = jnp.float32(scale_mult)
 
+    tree_ix = jnp.arange(trees, dtype=jnp.int32)[None, :]  # [1, T]
+
     def stage_step(i, state):
         r, c, s = state
         if rotated:
-            qsin = (s * QSIN_TABLE[angle_idx]).astype(jnp.int32)
-            qcos = (s * QCOS_TABLE[angle_idx]).astype(jnp.int32)
-            ri = 65536 * r.astype(jnp.int32)
-            ci = 65536 * c.astype(jnp.int32)
+            qsin = (s * QSIN_TABLE[angle_idx]).astype(jnp.int32)[:, None]
+            qcos = (s * QCOS_TABLE[angle_idx]).astype(jnp.int32)[:, None]
+            ri = (65536 * r.astype(jnp.int32))[:, None]
+            ci = (65536 * c.astype(jnp.int32))[:, None]
         else:
-            ri = 256 * r.astype(jnp.int32)
-            ci = 256 * c.astype(jnp.int32)
-            si = round_away(s).astype(jnp.int32)
+            ri = (256 * r.astype(jnp.int32))[:, None]
+            ci = (256 * c.astype(jnp.int32))[:, None]
+            si = round_away(s).astype(jnp.int32)[:, None]
+        cs = col_sign[:, None]
 
-        def level_step(_, idx_and_base):
-            idx, node_base = idx_and_base
+        # All T trees of the stage walk in lockstep on a [B, T] lane grid:
+        # only the depth levels are sequential (the reference's per-tree loop
+        # is independent across trees within a stage, puploc.go:115-147).
+        node_base = base_c[:, None] + (i * trees + tree_ix) * leaves  # [B, T]
+
+        def level_step(_, idx):
             w = codes[node_base + idx]
             k0, k1, k2, k3 = _unpack4(w)
             if rotated:
-                col1 = col_sign * k1
-                col2 = col_sign * k3
+                col1 = cs * k1
+                col2 = cs * k3
                 r1 = jnp.clip(
                     jnp.maximum(0, ri + qcos * k0 - qsin * col1) >> 16,
                     0, nrows - 1,
@@ -115,29 +122,25 @@ def _walk_impl(
             else:
                 r1 = jnp.clip((ri + k0 * si) >> 8, 0, nrows - 1)
                 r2 = jnp.clip((ri + k2 * si) >> 8, 0, nrows - 1)
-                c1 = jnp.clip((ci + col_sign * k1 * si) >> 8, 0, ncols - 1)
-                c2 = jnp.clip((ci + col_sign * k3 * si) >> 8, 0, ncols - 1)
+                c1 = jnp.clip((ci + cs * k1 * si) >> 8, 0, ncols - 1)
+                c2 = jnp.clip((ci + cs * k3 * si) >> 8, 0, ncols - 1)
                 p1 = pixels[r1 * dim + c1]
                 p2 = pixels[r2 * dim + c2]
                 b = (p1 > p2).astype(jnp.int32)
-            return 2 * idx + 1 + b, node_base
+            return 2 * idx + 1 + b
 
-        def tree_step(carry, j):
-            dr, dc = carry
-            node_base = base_c + (i * trees + j) * leaves
-            idx0 = jnp.zeros_like(casc_id)
-            idx, _ = jax.lax.fori_loop(0, depth, level_step, (idx0, node_base))
-            leaf = idx - (leaves - 1)
-            lut = (node_base + leaf) * 2
-            dr = dr + preds[lut]
-            dc = dc + sign_f * preds[lut + 1]
-            return (dr, dc), None
-
-        (dr, dc), _ = jax.lax.scan(
-            tree_step,
-            (jnp.zeros_like(r), jnp.zeros_like(c)),
-            jnp.arange(trees, dtype=jnp.int32),
-        )
+        idx0 = jnp.zeros_like(node_base)
+        idx = jax.lax.fori_loop(0, depth, level_step, idx0)
+        leaf = idx - (leaves - 1)
+        lut = (node_base + leaf) * 2
+        dr_t = preds[lut]  # [B, T]
+        dc_t = sign_f[:, None] * preds[lut + 1]
+        # strict left-to-right f32 accumulation over trees (reference order)
+        dr = dr_t[:, 0]
+        dc = dc_t[:, 0]
+        for j in range(1, trees):
+            dr = dr + dr_t[:, j]
+            dc = dc + dc_t[:, j]
         return r + dr * s, c + dc * s, s * smul
 
     r, c, s = r0, c0, s0
@@ -148,6 +151,45 @@ def _walk_impl(
 
 walk = jax.jit(
     _walk_impl,
+    static_argnames=(
+        "stages", "trees", "depth", "nrows", "ncols", "dim", "scale_mult",
+        "rotated", "angle_idx",
+    ),
+)
+
+
+def _ensemble_impl(
+    codes, preds, casc_id, rows0, cols0, scales0, flips, u, pixels,
+    *, stages, trees, depth, nrows, ncols, dim, scale_mult, rotated,
+    angle_idx,
+):
+    """Fused ensemble: jitter -> walk -> per-group median, one XLA program.
+
+    casc_id/rows0/cols0/scales0/flips: [G] per-group; u: [G, P, 3] uniforms.
+    Returns [3, G] f32 medians (row, col, scale). Keeping the whole ensemble
+    in ONE jit matters on high-latency hosts: the eager op chain around the
+    walk otherwise costs dozens of dispatch round trips per frame."""
+    g, p = u.shape[0], u.shape[1]
+    r0, c0, s0 = make_perturbations(
+        rows0[:, None], cols0[:, None], scales0[:, None], u
+    )
+    col_sign = jnp.where(flips, -1, 1).astype(jnp.int32)
+    cs = jnp.repeat(col_sign, p)
+    cid = jnp.repeat(casc_id.astype(jnp.int32), p)
+    r, c, s = _walk_impl(
+        codes, preds, cid, r0.reshape(-1), c0.reshape(-1), s0.reshape(-1),
+        cs, pixels,
+        stages=stages, trees=trees, depth=depth, nrows=nrows, ncols=ncols,
+        dim=dim, scale_mult=scale_mult, rotated=rotated, angle_idx=angle_idx,
+    )
+    rm, cm, sm = median_vote(
+        r.reshape(g, p), c.reshape(g, p), s.reshape(g, p), p
+    )
+    return jnp.stack([rm, cm, sm])
+
+
+ensemble = jax.jit(
+    _ensemble_impl,
     static_argnames=(
         "stages", "trees", "depth", "nrows", "ncols", "dim", "scale_mult",
         "rotated", "angle_idx",
