@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from pigo_tpu.models.face import FaceCascade
 from pigo_tpu.ops import face_dense
@@ -95,7 +99,7 @@ class ShardedFaceCascade:
             shard_body, mesh=self.mesh,
             in_specs=(P(), P(self.axis), P(self.axis), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
 
         @jax.jit
@@ -170,7 +174,7 @@ class ShardedFaceCascade:
         mapped = shard_map(
             shard_body, mesh=self.mesh,
             in_specs=(P(self.axis),), out_specs=(P(self.axis), P()),
-            check_rep=False,
+            check_vma=False,
         )
         entry = (plan, jax.jit(mapped))
         self._fns[key] = entry
