@@ -569,19 +569,41 @@ int64_t pigo_face_run_scales(void* h, const uint8_t* pixels, int rows,
   const auto& f = *static_cast<FaceForest*>(h);
   if (angle > 1.0) angle = 1.0;
   std::vector<Detection> dets;
+  const int nthreads = env_threads();
   for (int64_t si = 0; si < n_scales; ++si) {
     int scale = scales[si];
     int step = std::max(int(shift * scale), 1);
     int offset = (scale >> 1) + 1;
-    for (int r = offset; r <= rows - offset; r += step) {
-      for (int c = offset; c <= cols - offset; c += step) {
-        float q = (angle > 0.0)
-                      ? classify_rotated_region(f, r, c, scale, angle, rows,
-                                                pixels, dim)
-                      : classify_region(f, r, c, scale, pixels, dim);
-        if (q > 0.f) dets.push_back({r, c, scale, q});
+    std::vector<int> row_vals;
+    for (int r = offset; r <= rows - offset; r += step) row_vals.push_back(r);
+    if (row_vals.empty()) continue;
+    std::vector<std::vector<Detection>> per_row(row_vals.size());
+    std::atomic<size_t> next{0};
+    auto work = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= row_vals.size()) break;
+        int r = row_vals[i];
+        for (int c = offset; c <= cols - offset; c += step) {
+          float q = (angle > 0.0)
+                        ? classify_rotated_region(f, r, c, scale, angle,
+                                                  rows, pixels, dim)
+                        : classify_region(f, r, c, scale, pixels, dim);
+          if (q > 0.f) per_row[i].push_back({r, c, scale, q});
+        }
       }
+    };
+    int nt = std::min<int>(nthreads, int(row_vals.size()));
+    if (nt <= 1) {
+      work();
+    } else {
+      std::vector<std::thread> pool;
+      pool.reserve(nt);
+      for (int i = 0; i < nt; ++i) pool.emplace_back(work);
+      for (auto& th : pool) th.join();
     }
+    for (auto& local : per_row)
+      dets.insert(dets.end(), local.begin(), local.end());
   }
   int64_t n = int64_t(dets.size());
   int64_t m = std::min(n, cap);

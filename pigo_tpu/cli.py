@@ -123,10 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     from pigo_tpu.models.landmark import LandmarkLocalizer
     from pigo_tpu.models.pupil import PupilLocalizer
     from pigo_tpu.cascade.assets import load_landmark_dir
+    from pigo_tpu.utils.spinner import Spinner
     import jax
     from PIL import Image
 
     start = time.time()
+    spinner = Spinner("Processing...")
+    spinner.start()
 
     if detect_file_content_type(args.cascade_file) != "application/octet-stream":
         print("the provided cascade classifier is not valid", file=sys.stderr)

@@ -59,8 +59,11 @@ from pigo_tpu.ops.windows import pyramid_scales
 LANE = 128
 SUBLANE = 8
 CHUNK = 2 * LANE  # plane chunk width (max reliable dynamic-roll vector)
-# VMEM budget for one scale's chunked planes (bytes).
-PLANES_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM budget for one scale's chunked planes (bytes). The planes are the
+# kernel's only large VMEM resident (tables live in SMEM, tiles are 8x128),
+# so most of the chip's ~128MB VMEM is available; 64MB keeps headroom for
+# Mosaic's own buffers and covers 1080p plane layouts at d == step.
+PLANES_VMEM_BUDGET = 64 * 1024 * 1024
 # Scales with fewer real windows than one 8x128 tile are routed to a fallback
 # engine: their tiles are mostly padding, yet large-scale windows survive the
 # soft cascade longest (measured: the <1024-window tail is ~35% of all
@@ -193,9 +196,10 @@ def build_dense_plan(
             r_stride = d * d * prg
             n_chunks = (v0_max >> 7) + nct
             tail = (nrt * SUBLANE - nr) + 2 * SUBLANE
-            # planes rows bucketed to 1024 so many scales share one compiled
-            # kernel specialization (R itself travels in SMEM meta)
-            total_rows = _round_up(n_chunks * r_stride + tail, 1024)
+            # planes rows bucketed (1024, coarser when large) so many scales
+            # share one compiled kernel specialization (R travels in SMEM)
+            raw_rows = n_chunks * r_stride + tail
+            total_rows = _round_up(raw_rows, 1024 if raw_rows <= 8192 else 4096)
             vmem = total_rows * CHUNK * 4
             if (total_rows << 7) >= (1 << 31):
                 continue  # packing limit

@@ -140,3 +140,18 @@ def test_native_tail_matches_gather_tail(sample_gray, face_forest, monkeypatch):
     dets_gather = fc_gather.run_cascade(sample_gray, rows, cols, **cfg)
     assert fc_gather._native is None
     assert np.array_equal(dets_nat, dets_gather)
+
+
+def test_stream_hits_parity_and_order(sample_gray, face_forest):
+    """Streaming pipeline yields per-frame results identical to run_cascade,
+    in input order, for any depth."""
+    fc = FaceCascade(face_forest, backend="pallas")
+    rows, cols = sample_gray.shape
+    cfg = dict(min_size=60, max_size=400, shift_factor=0.2, scale_factor=1.3)
+    frames = [np.roll(sample_gray, i, axis=1) for i in range(5)]
+    wants = [fc.run_cascade(f, rows, cols, **cfg) for f in frames]
+    for depth in (1, 3, 8):
+        outs = list(fc.stream_hits(iter(frames), depth=depth, **cfg))
+        assert len(outs) == len(frames)
+        for got, want in zip(outs, wants):
+            assert np.array_equal(got, want)

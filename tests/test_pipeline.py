@@ -95,3 +95,31 @@ def test_cli_json_output(tmp_path):
     assert len(payload) >= 1
     assert "face" in payload[0]
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_detect_multi_face():
+    """Two faces in one frame: the fused post stage localizes eyes and the
+    full 15-point landmark set for both."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    two = np.concatenate([gray, gray], axis=1)  # side-by-side portraits
+    det = FaceDetector()
+    results = det.detect(
+        two, rows, 2 * cols,
+        CascadeParams(100, 400, 0.15, 1.15),
+        iou_threshold=0.2, key=jax.random.PRNGKey(0),
+    )
+    assert len(results) == 2
+    for r in results:
+        assert len(r.eyes) == 2
+        assert len(r.landmarks) == 15
+    # the two faces are a translation of each other: coords differ by ~cols
+    cols_found = sorted(r.face.col for r in results)
+    # cluster averaging shifts slightly near the seam; allow a few pixels
+    assert abs((cols_found[1] - cols_found[0]) - cols) <= 10
