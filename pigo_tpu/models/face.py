@@ -550,6 +550,20 @@ class FaceCascade:
                 pixels, rows, cols, min_size=min_size, max_size=max_size,
                 shift_factor=shift_factor, scale_factor=scale_factor,
             )
+        if angle > 0.0 and dim == cols:
+            # Rotated full pyramid: the quantized-rotation clamps make the
+            # node reads window-dependent near edges, which defeats the
+            # dense plane layout; the gather kernel has no early exit and is
+            # ~1000x slower than the host engine here. Route to the native
+            # engine (bit-exact, oracle-verified) when available.
+            nat = self._native_tail()
+            if nat is not None:
+                return nat.run_cascade(
+                    np.asarray(pixels, np.uint8), rows, cols, dim,
+                    min_size=min_size, max_size=max_size,
+                    shift_factor=shift_factor, scale_factor=scale_factor,
+                    angle=angle,
+                )
         coords, q = self.window_scores(
             pixels, rows, cols, dim, min_size, max_size,
             shift_factor, scale_factor, angle,
