@@ -280,8 +280,85 @@ class FaceDetector:
 
     def _detect_fused(self, eyed, gray, rows, cols, angle, perturbs, key):
         """Eyes + landmarks for all qualifying faces in one device call."""
-        import numpy as np
+        return self._collect_post(
+            self._dispatch_post(eyed, gray, rows, cols, angle, perturbs, key)
+        )
 
+    def detect_stream(
+        self,
+        frames,  # iterable of [rows, cols] uint8 grayscale frames
+        params: CascadeParams = CascadeParams(),
+        angle: float = 0.0,
+        iou_threshold: float = 0.15,
+        perturbs: int = PERTURBS,
+        key: jax.Array | None = None,
+        depth: int = 4,
+    ):
+        """Streaming full pipeline: face-stage and post-stage device work of
+        consecutive frames overlap with each other and with host transfers.
+        Yields the per-frame list[FaceResult] in input order. Frame i's
+        results equal `detect(frame_i, key=jax.random.fold_in(key, i))`."""
+        import collections
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        fc = self.face
+        kw = dict(min_size=params.min_size, max_size=params.max_size,
+                  shift_factor=params.shift_factor,
+                  scale_factor=params.scale_factor)
+        faceq: collections.deque = collections.deque()
+        postq: collections.deque = collections.deque()
+
+        def advance_face():
+            frame, i, ticket = faceq.popleft()
+            dets = cluster_detections(fc._collect_single(ticket),
+                                      iou_threshold)
+            results = [
+                FaceResult(face=Detection(row=int(r), col=int(c),
+                                          scale=int(s), q=float(q)))
+                for r, c, s, q in dets
+                if q > Q_THRESH
+            ]
+            k_frame, k_post = jax.random.split(jax.random.fold_in(key, i))
+            eyed = [
+                res for res in results
+                if res.face.scale > MIN_EYE_FACE_SCALE
+            ]
+            if self.pupil is None or self.landmarks is None or not eyed:
+                postq.append((results, None))
+            else:
+                postq.append((
+                    results,
+                    self._dispatch_post(eyed, frame, rows_of(frame),
+                                        frame.shape[-1], angle, perturbs,
+                                        k_post),
+                ))
+
+        def rows_of(frame):
+            return frame.shape[-2]
+
+        for i, frame in enumerate(frames):
+            rows, cols = frame.shape[-2], frame.shape[-1]
+            faceq.append(
+                (frame, i,
+                 fc._dispatch_single(frame, rows, cols, **kw))
+            )
+            if len(faceq) >= 2:
+                advance_face()
+            while len(postq) >= depth:
+                results, ticket = postq.popleft()
+                if ticket is not None:
+                    self._collect_post(ticket)
+                yield results
+        while faceq:
+            advance_face()
+        while postq:
+            results, ticket = postq.popleft()
+            if ticket is not None:
+                self._collect_post(ticket)
+            yield results
+
+    def _dispatch_post(self, eyed, gray, rows, cols, angle, perturbs, key):
+        """Async half: dispatch the fused eyes+landmarks program."""
         f = len(eyed)
         pg = self.pupil.forest
         lg = self.landmarks.geometry
@@ -293,7 +370,7 @@ class FaceDetector:
         lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
         rotated = angle > 0.0
         angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
-        out = np.asarray(_fused_post(
+        fut = _fused_post(
             key,
             jnp.asarray([r.face.row for r in eyed], jnp.float32),
             jnp.asarray([r.face.col for r in eyed], jnp.float32),
@@ -306,7 +383,17 @@ class FaceDetector:
             pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
             lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
-        ))  # [3, 2F + F*npts], one round trip
+        )
+        try:
+            fut.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (fut, eyed, f, npts, perturbs)
+
+    def _collect_post(self, ticket):
+        """Blocking half: fetch the [3, 2F + F*npts] result and attach."""
+        fut, eyed, f, npts, perturbs = ticket
+        out = np.asarray(fut)  # one round trip
         eyes, lmk = out[:, : 2 * f], out[:, 2 * f :].reshape(3, f, npts)
         for i, res in enumerate(eyed):
             left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),

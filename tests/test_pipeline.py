@@ -123,3 +123,26 @@ def test_detect_multi_face():
     cols_found = sorted(r.face.col for r in results)
     # cluster averaging shifts slightly near the seam; allow a few pixels
     assert abs((cols_found[1] - cols_found[0]) - cols) <= 10
+
+
+def test_detect_stream_matches_detect():
+    """detect_stream yields exactly detect()'s per-frame results."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    frames = [np.roll(gray, i, axis=1) for i in range(3)]
+    det = FaceDetector()
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(7)
+    streamed = list(det.detect_stream(iter(frames), params, key=key, depth=2))
+    assert len(streamed) == len(frames)
+    for i, (frame, got) in enumerate(zip(frames, streamed)):
+        want = det.detect(frame, rows, cols, params,
+                          key=jax.random.fold_in(key, i))
+        assert [r.to_json_dict() for r in got] == \
+               [r.to_json_dict() for r in want]
