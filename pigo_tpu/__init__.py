@@ -41,6 +41,7 @@ _EXPORTS = {
     "ImageParams": "pigo_tpu.detector",
     "Detection": "pigo_tpu.detector",
     "FaceDetector": "pigo_tpu.detector",
+    "FaceResult": "pigo_tpu.detector",
     "cluster_detections": "pigo_tpu.ops.cluster",
     "get_image": "pigo_tpu.io.image",
     "decode_image": "pigo_tpu.io.image",

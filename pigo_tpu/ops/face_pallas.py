@@ -58,6 +58,14 @@ from pigo_tpu.ops.windows import pyramid_scales
 
 LANE = 128
 SUBLANE = 8
+# Window-tile height (16 rows x 128 lanes of grid positions per kernel
+# step). The per-node scalar address work (SMEM loads, shifts, roll amounts)
+# is independent of tile height, and it is the kernel's bottleneck — taller
+# tiles halve it per window. Node reads become 32-row slabs (power-of-two
+# sublane-tile counts; 24-row dynamic rotates miscompile on Mosaic). Measured
+# 1.45x over 8-row tiles on the headline pyramid despite the coarser
+# early-exit granularity.
+TILE_R = 16
 CHUNK = 2 * LANE  # plane chunk width (max reliable dynamic-roll vector)
 # VMEM budget for one scale's chunked planes (bytes). The planes are the
 # kernel's only large VMEM resident (tables live in SMEM, tiles are 8x128),
@@ -186,7 +194,7 @@ def build_dense_plan(
             nr = (nr_real - 1) * m + 1
             nc = (nc_real - 1) * m + 1
             dr_max = (s_max * scale) >> 8
-            nrt = _round_up(_round_up(nr, SUBLANE) // SUBLANE, 2)
+            nrt = _round_up(nr, TILE_R) // TILE_R
             nct = _round_up(nc, LANE) // LANE
             # Planes carry only the rows real windows read; pad-window and
             # 16-row-aligned over-reads spill into the next plane (or the
@@ -195,7 +203,7 @@ def build_dense_plan(
             v0_max = (offset + dr_max) // d
             r_stride = d * d * prg
             n_chunks = (v0_max >> 7) + nct
-            tail = (nrt * SUBLANE - nr) + 2 * SUBLANE
+            tail = (nrt * TILE_R - nr) + 2 * TILE_R
             # planes rows bucketed (1024, coarser when large) so many scales
             # share one compiled kernel specialization (R travels in SMEM)
             raw_rows = n_chunks * r_stride + tail
@@ -283,26 +291,26 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
     def kernel(meta_ref, tables_ref, preds_ref, thresh_ref, planes_ref, q_ref):
         tr = pl.program_id(0)
         ct = pl.program_id(1)
-        row0 = tr * SUBLANE + ct * meta_ref[2]
+        row0 = tr * TILE_R + ct * meta_ref[2]
         nr = meta_ref[0]
         nc = meta_ref[1]
 
-        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 1)
-        row_ix = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, LANE), 0)
+        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 1)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 0)
         # fail mask carried as f32 (Mosaic can't carry i1 vectors in loops)
         pad_mask = (
-            ((lane_ix + ct * LANE) >= nc) | ((row_ix + tr * SUBLANE) >= nr)
+            ((lane_ix + ct * LANE) >= nc) | ((row_ix + tr * TILE_R) >= nr)
         ).astype(jnp.float32)
 
         def read(packed):
             row = (packed >> 7) + row0
             vrem = packed & 127
-            # Mosaic requires 8-aligned dynamic sublane starts: read 16 rows
-            # from the aligned base, then roll the remainder away.
+            # Mosaic requires 8-aligned dynamic sublane starts: read 2*TILE_R
+            # rows from the aligned base, then roll the remainder away.
             ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
-            wide = planes_ref[pl.ds(ra, 2 * SUBLANE), :]
+            wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
             wide = pltpu.roll(wide, -(row & (SUBLANE - 1)), 0)
-            return pltpu.roll(wide, -vrem, 1)[:SUBLANE, :LANE]
+            return pltpu.roll(wide, -vrem, 1)[:TILE_R, :LANE]
 
         nleaf = 2 ** depth
 
@@ -343,7 +351,7 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
             t, _, fail = carry
             return (t < t_num) & (jnp.min(fail) < 1.0)
 
-        out0 = jnp.zeros((SUBLANE, LANE), jnp.float32)
+        out0 = jnp.zeros((TILE_R, LANE), jnp.float32)
         _, out, fail = jax.lax.while_loop(
             cond, tree_step, (jnp.int32(0), out0, pad_mask)
         )
@@ -382,10 +390,10 @@ def scale_scores(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (SUBLANE, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (TILE_R, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (sp.n_row_tiles * SUBLANE, sp.n_col_tiles * LANE), jnp.float32
+            (sp.n_row_tiles * TILE_R, sp.n_col_tiles * LANE), jnp.float32
         ),
         interpret=interpret,
     )(meta, tables, preds, thresh, planes)
