@@ -297,7 +297,12 @@ class FaceDetector:
         """Streaming full pipeline: face-stage and post-stage device work of
         consecutive frames overlap with each other and with host transfers.
         Yields the per-frame list[FaceResult] in input order. Frame i's
-        results equal `detect(frame_i, key=jax.random.fold_in(key, i))`."""
+        results equal `detect(frame_i, key=jax.random.fold_in(key, i))`.
+
+        Per steady-state frame the host makes ONE device round trip: the
+        face-hit fetch of frame i and the post-result fetch of frame i-depth
+        are combined into a single jax.device_get (each transfer alone costs
+        a full link round trip)."""
         import collections
 
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -308,17 +313,29 @@ class FaceDetector:
         faceq: collections.deque = collections.deque()
         postq: collections.deque = collections.deque()
 
-        def advance_face():
-            frame, i, ticket = faceq.popleft()
-            dets = cluster_detections(fc._collect_single(ticket),
-                                      iou_threshold)
+        def advance_face(due):
+            """Fetch frame j's face hits (+ the due post result, one round
+            trip), then dispatch frame j's post stage."""
+            frame, j, ticket = faceq.popleft()
+            fetch = []
+            if ticket[0] is not None:
+                fetch.append(ticket[0])
+            if due is not None and due[1] is not None:
+                fetch.append(due[1][0])
+            vals = jax.device_get(fetch) if fetch else []
+            packed = vals.pop(0) if ticket[0] is not None else None
+            if due is not None and due[1] is not None:
+                self._collect_post(due[1], out=vals.pop(0))
+            dets = cluster_detections(
+                fc._collect_single(ticket, packed=packed), iou_threshold
+            )
             results = [
                 FaceResult(face=Detection(row=int(r), col=int(c),
                                           scale=int(s), q=float(q)))
                 for r, c, s, q in dets
                 if q > Q_THRESH
             ]
-            k_frame, k_post = jax.random.split(jax.random.fold_in(key, i))
+            k_frame, k_post = jax.random.split(jax.random.fold_in(key, j))
             eyed = [
                 res for res in results
                 if res.face.scale > MIN_EYE_FACE_SCALE
@@ -328,13 +345,10 @@ class FaceDetector:
             else:
                 postq.append((
                     results,
-                    self._dispatch_post(eyed, frame, rows_of(frame),
+                    self._dispatch_post(eyed, frame, frame.shape[-2],
                                         frame.shape[-1], angle, perturbs,
                                         k_post),
                 ))
-
-        def rows_of(frame):
-            return frame.shape[-2]
 
         for i, frame in enumerate(frames):
             rows, cols = frame.shape[-2], frame.shape[-1]
@@ -343,14 +357,20 @@ class FaceDetector:
                  fc._dispatch_single(frame, rows, cols, **kw))
             )
             if len(faceq) >= 2:
-                advance_face()
-            while len(postq) >= depth:
+                due = postq.popleft() if len(postq) >= depth else None
+                advance_face(due)
+                if due is not None:
+                    yield due[0]
+            while len(postq) > depth:
                 results, ticket = postq.popleft()
                 if ticket is not None:
                     self._collect_post(ticket)
                 yield results
         while faceq:
-            advance_face()
+            due = postq.popleft() if postq else None
+            advance_face(due)
+            if due is not None:
+                yield due[0]
         while postq:
             results, ticket = postq.popleft()
             if ticket is not None:
@@ -390,10 +410,14 @@ class FaceDetector:
             pass
         return (fut, eyed, f, npts, perturbs)
 
-    def _collect_post(self, ticket):
-        """Blocking half: fetch the [3, 2F + F*npts] result and attach."""
+    def _collect_post(self, ticket, out=None):
+        """Blocking half: fetch the [3, 2F + F*npts] result and attach.
+
+        `out` lets a caller supply the already-fetched array (from a batched
+        jax.device_get)."""
         fut, eyed, f, npts, perturbs = ticket
-        out = np.asarray(fut)  # one round trip
+        if out is None:
+            out = np.asarray(fut)  # one round trip
         eyes, lmk = out[:, : 2 * f], out[:, 2 * f :].reshape(3, f, npts)
         for i, res in enumerate(eyed):
             left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),

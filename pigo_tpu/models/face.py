@@ -359,13 +359,19 @@ class FaceCascade:
                                      max_size, shift_factor, scale_factor)
         return (fut, fb, plan, d2g, dense_fn_full, img2d)
 
-    def _collect_single(self, ticket) -> np.ndarray:
-        """Blocking half of sparse_hits: fetch + unpack + tail merge."""
+    def _collect_single(self, ticket, packed=None) -> np.ndarray:
+        """Blocking half of sparse_hits: fetch + unpack + tail merge.
+
+        `packed` lets a caller supply the already-fetched hit list (e.g.
+        from a batched jax.device_get combining several transfers into one
+        host-link round trip)."""
         fut, fb, plan, d2g, dense_fn_full, img2d = ticket
         if plan.num_windows == 0:
             return np.zeros((0, 4), dtype=np.float64)
         cap = self.HIT_CAPACITY
-        if fut is None:
+        if packed is not None:
+            pass
+        elif fut is None:
             packed = np.zeros(1 + 2 * cap, np.float32)
         else:
             packed = np.asarray(fut)
