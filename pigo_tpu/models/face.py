@@ -372,7 +372,12 @@ class FaceCascade:
         if packed is not None:
             pass
         elif fut is None:
-            packed = np.zeros(1 + 2 * cap, np.float32)
+            # no dense scales: empty hit list (idx slots must be -1 — a zero
+            # index would read as a valid hit at window 0)
+            packed = np.concatenate([
+                np.zeros(1, np.float32), np.full(cap, -1.0, np.float32),
+                np.zeros(cap, np.float32),
+            ])
         else:
             packed = np.asarray(fut)
         count = int(packed[0])
@@ -450,10 +455,12 @@ class FaceCascade:
         cap = self.HIT_CAPACITY
         if plan.num_windows == 0:
             return [np.zeros((0, 4), dtype=np.float64) for _ in range(b)]
-        packed = (
-            np.asarray(fut) if fut is not None
-            else np.zeros((b, 1 + 2 * cap), np.float32)
-        )
+        if fut is not None:
+            packed = np.asarray(fut)
+        else:
+            # empty per-frame hit lists (idx slots -1, see _collect_single)
+            packed = np.zeros((b, 1 + 2 * cap), np.float32)
+            packed[:, 1 : 1 + cap] = -1.0
         out = []
         for i in range(b):
             count = int(packed[i, 0])
