@@ -309,8 +309,9 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
             # rows from the aligned base, then roll the remainder away.
             ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
             wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
-            wide = pltpu.roll(wide, -(row & (SUBLANE - 1)), 0)
-            return pltpu.roll(wide, -vrem, 1)[:TILE_R, :LANE]
+            # slice the rows away before the lane roll (halves its width)
+            wide = pltpu.roll(wide, -(row & (SUBLANE - 1)), 0)[:TILE_R, :]
+            return pltpu.roll(wide, -vrem, 1)[:, :LANE]
 
         nleaf = 2 ** depth
 
