@@ -173,6 +173,89 @@ _fused_post = jax.jit(
     ),
 )
 
+# Capacities of the device-resident frame program (_device_detect): dense
+# hits + host-tail detections entering on-device clustering, and the fixed
+# face-slot count of the fused post stage. Frames exceeding these route to
+# the host path (the overflow flag in the output signals it).
+DEV_DENSE_CAP = 64
+DEV_TAIL_CAP = 32
+DEV_MAX_FACES = 2
+
+
+def _device_detect_impl(
+    packed, tail, tail_n, rows_w, cols_w, scale_w, d2g, key, pixels,
+    pcodes, ppreds, lcodes, lpreds,
+    *, hit_cap, iou_threshold, perturbs, rows, cols, angle_idx, rotated,
+    pupil_geom, lmk_geom, lmk_cids, lmk_flips,
+):
+    """The WHOLE post-kernel frame pipeline as ONE XLA program.
+
+    Decodes the dense kernels' packed hit list, merges the host-tail
+    detections (uploaded, H2D is cheap), clusters on device, gates faces
+    (q > 5, scale > 50, reference cmd/pigo/main.go:360,404), and runs the
+    fused eyes+landmarks stage — so the host needs exactly ONE device round
+    trip per frame. Differences vs the host path are tolerance-level only:
+    cluster tie order for equal q and f32 q-sum reduction order."""
+    from pigo_tpu.ops.cluster_device import cluster_device
+
+    cc = DEV_DENSE_CAP + DEV_TAIL_CAP
+    # ---- decode dense hits ----
+    count = packed[0].astype(jnp.int32)
+    idx = packed[1 : 1 + hit_cap].astype(jnp.int32)
+    qv = packed[1 + hit_cap :]
+    dense_valid = idx >= 0
+    gidx = d2g[jnp.clip(idx, 0, d2g.shape[0] - 1)]
+    gidx = jnp.clip(gidx, 0, rows_w.shape[0] - 1)
+    dn = jnp.stack(
+        [rows_w[gidx].astype(jnp.float32), cols_w[gidx].astype(jnp.float32),
+         scale_w[gidx].astype(jnp.float32), qv], axis=1,
+    )[:DEV_DENSE_CAP]
+    dense_valid = dense_valid[:DEV_DENSE_CAP]
+    # ---- merge the host tail ----
+    tail_valid = jnp.arange(DEV_TAIL_CAP) < tail_n
+    dets = jnp.concatenate([dn, tail.astype(jnp.float32)])
+    valid = jnp.concatenate([dense_valid, tail_valid])
+    overflow = (count > DEV_DENSE_CAP) | (tail_n > DEV_TAIL_CAP)
+
+    # ---- cluster + face gating ----
+    clusters, cvalid = cluster_device(
+        dets, valid, jnp.float32(iou_threshold), capacity=cc
+    )
+    keep = cvalid & (clusters[:, 3] > jnp.float32(Q_THRESH))
+    n_faces = jnp.sum(keep.astype(jnp.int32))
+    slots = jnp.nonzero(keep, size=DEV_MAX_FACES, fill_value=-1)[0]
+    fvalid = slots >= 0
+    faces = clusters[jnp.clip(slots, 0)]  # [MAX_FACES, 4]
+    overflow = overflow | (n_faces > DEV_MAX_FACES)
+    eyed = fvalid & (faces[:, 2] > jnp.float32(MIN_EYE_FACE_SCALE))
+
+    # ---- fused eyes + landmarks over the fixed face slots ----
+    post = _fused_post_impl(
+        key, faces[:, 0], faces[:, 1],
+        jnp.where(eyed, faces[:, 2], jnp.float32(100.0)),  # safe pad anchor
+        pixels, pcodes, ppreds, lcodes, lpreds,
+        f=DEV_MAX_FACES, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
+        angle_idx=angle_idx, rotated=rotated,
+        pupil_geom=pupil_geom, lmk_geom=lmk_geom,
+        lmk_cids=lmk_cids, lmk_flips=lmk_flips,
+    )  # [3, 2F + F*npts]
+    flags = jnp.stack([
+        overflow.astype(jnp.float32), n_faces.astype(jnp.float32),
+    ])
+    return jnp.concatenate([
+        flags, faces.reshape(-1), fvalid.astype(jnp.float32),
+        eyed.astype(jnp.float32), post.reshape(-1),
+    ])
+
+
+_device_detect = jax.jit(
+    _device_detect_impl,
+    static_argnames=(
+        "hit_cap", "iou_threshold", "perturbs", "rows", "cols", "angle_idx",
+        "rotated", "pupil_geom", "lmk_geom",
+    ),
+)
+
 
 class FaceDetector:
     """End-to-end detector; loads the bundled cascades by default."""
@@ -376,6 +459,142 @@ class FaceDetector:
             if ticket is not None:
                 self._collect_post(ticket)
             yield results
+
+    def detect_stream_device(
+        self,
+        frames,  # iterable of [rows, cols] uint8 grayscale frames
+        params: CascadeParams = CascadeParams(),
+        angle: float = 0.0,
+        iou_threshold: float = 0.15,
+        perturbs: int = PERTURBS,
+        key: jax.Array | None = None,
+        depth: int = 4,
+    ):
+        """Device-resident streaming pipeline: per frame, the dense kernels,
+        on-device clustering, face gating, and the fused eyes+landmarks stage
+        run as device programs with ONE host round trip; only the sparse tail
+        scan stays on host (overlapped). Frames whose hit/face counts exceed
+        the device capacities transparently fall back to the host pipeline.
+
+        Cluster tie order (equal q) and f32 q sums may differ from
+        `detect()` at tolerance level; coordinates match."""
+        import collections
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        q: collections.deque = collections.deque()
+        for i, frame in enumerate(frames):
+            k_frame, k_post = jax.random.split(jax.random.fold_in(key, i))
+            q.append(self._dispatch_frame_device(
+                frame, params, angle, iou_threshold, perturbs, k_post))
+            if len(q) >= depth:
+                yield self._collect_frame_device(q.popleft())
+        while q:
+            yield self._collect_frame_device(q.popleft())
+
+    def _dispatch_frame_device(self, frame, params, angle, iou_threshold,
+                               perturbs, key):
+        fc = self.face
+        rows, cols = frame.shape[-2], frame.shape[-1]
+        cfg = (params.min_size, params.max_size, params.shift_factor,
+               params.scale_factor)
+        plan, dense_fn, dense_fn_full, d2g = fc._dense_plan(rows, cols, *cfg)
+        arrays = fc.device_plan_arrays(rows, cols, *cfg)
+        img2d = jnp.asarray(frame, jnp.uint8).reshape(rows, cols)
+        cap = fc.HIT_CAPACITY
+        if d2g.size:
+            packed = dense_fn(img2d)
+        else:
+            empty = np.zeros(1 + 2 * cap, np.float32)
+            empty[1 : 1 + cap] = -1.0
+            packed = jnp.asarray(empty)
+        tail_np = np.zeros((DEV_TAIL_CAP, 4), np.float32)
+        tail_n = 0
+        if plan.has_fallback:
+            host_pix = frame if isinstance(frame, np.ndarray) else np.asarray(img2d)
+            fb = fc._fallback_hits(host_pix, plan, rows, cols, *cfg)
+            tail_n = fb.shape[0]
+            tail_np[: min(tail_n, DEV_TAIL_CAP)] = fb[:DEV_TAIL_CAP]
+        pg = self.pupil.forest
+        lg = self.landmarks.geometry
+        sched = self.landmarks.point_schedule
+        lmk_cids = np.tile(
+            np.array([self.landmarks._name_to_id[n] for n, _ in sched],
+                     np.int32), DEV_MAX_FACES)
+        lmk_flips = np.tile(np.array([fl for _, fl in sched], bool),
+                            DEV_MAX_FACES)
+        rotated = angle > 0.0
+        angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        fut = _device_detect(
+            packed, jnp.asarray(tail_np), jnp.int32(tail_n),
+            arrays["rows_w"], arrays["cols_w"], arrays["scale_w"],
+            arrays["d2g"], key, img2d.reshape(-1),
+            self.pupil.codes, self.pupil.preds,
+            self.landmarks.codes, self.landmarks.preds,
+            hit_cap=cap, iou_threshold=float(iou_threshold),
+            perturbs=perturbs, rows=rows, cols=cols,
+            angle_idx=angle_idx, rotated=rotated,
+            pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
+            lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
+            lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
+        )
+        try:
+            fut.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (fut, frame, params, angle, iou_threshold, perturbs, key,
+                len(sched))
+
+    def _collect_frame_device(self, ticket) -> list[FaceResult]:
+        (fut, frame, params, angle, iou_threshold, perturbs, key,
+         npts) = ticket
+        out = np.asarray(fut)  # the frame's single round trip
+        mf = DEV_MAX_FACES
+        overflow = out[0] > 0.0
+        if overflow:  # rare: capacities exceeded -> exact host pipeline
+            rows, cols = frame.shape[-2], frame.shape[-1]
+            return self.detect(frame, rows, cols, params, angle,
+                               iou_threshold, perturbs, key)
+        off = 2
+        faces = out[off : off + 4 * mf].reshape(mf, 4)
+        off += 4 * mf
+        fvalid = out[off : off + mf] > 0.0
+        off += mf
+        eyed = out[off : off + mf] > 0.0
+        off += mf
+        post = out[off:].reshape(3, 2 * mf + mf * npts)
+        eyes, lmk = post[:, : 2 * mf], post[:, 2 * mf :].reshape(3, mf, npts)
+        results = []
+        for i in range(mf):
+            if not fvalid[i]:
+                continue
+            res = FaceResult(face=Detection(
+                row=int(faces[i, 0]), col=int(faces[i, 1]),
+                scale=int(faces[i, 2]), q=float(faces[i, 3])))
+            if eyed[i]:
+                left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),
+                              scale=float(eyes[2, 2 * i]), perturbs=perturbs)
+                right = Puploc(row=int(eyes[0, 2 * i + 1]),
+                               col=int(eyes[1, 2 * i + 1]),
+                               scale=float(eyes[2, 2 * i + 1]),
+                               perturbs=perturbs)
+                if left.row > 0 and left.col > 0:
+                    res.eyes.append(left)
+                if right.row > 0 and right.col > 0:
+                    res.eyes.append(right)
+                if (left.row > 0 and left.col > 0 and right.row > 0
+                        and right.col > 0):
+                    res.landmarks = [
+                        p for p in (
+                            Puploc(row=int(lmk[0, i, j]),
+                                   col=int(lmk[1, i, j]),
+                                   scale=float(lmk[2, i, j]),
+                                   perturbs=perturbs)
+                            for j in range(npts)
+                        )
+                        if p.row > 0 and p.col > 0
+                    ]
+            results.append(res)
+        return results
 
     def _dispatch_post(self, eyed, gray, rows, cols, angle, perturbs, key):
         """Async half: dispatch the fused eyes+landmarks program."""

@@ -252,6 +252,30 @@ class FaceCascade:
             axis=1,
         )
 
+    def device_plan_arrays(self, rows, cols, min_size, max_size,
+                           shift_factor, scale_factor):
+        """Device-resident (row, col, scale) tables for every plan window +
+        the dense->global index map — lets downstream XLA programs decode the
+        packed hit list without a host round trip."""
+        key = ("dev", rows, cols, min_size, max_size, shift_factor,
+               scale_factor)
+        hit = self._batch_fns.get(key)
+        if hit is not None:
+            return hit
+        plan, _, _, d2g = self._dense_plan(
+            rows, cols, min_size, max_size, shift_factor, scale_factor
+        )
+        arrays = {
+            "rows_w": jnp.asarray(plan.rows_w, jnp.int32),
+            "cols_w": jnp.asarray(plan.cols_w, jnp.int32),
+            "scale_w": jnp.asarray(plan.scale_w, jnp.int32),
+            "d2g": jnp.asarray(
+                d2g if d2g.size else np.zeros(1, np.int64), jnp.int32
+            ),
+        }
+        self._batch_fns[key] = arrays
+        return arrays
+
     # ------------------------------------------------------------- detection
 
     def window_scores(

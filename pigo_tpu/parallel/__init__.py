@@ -1,4 +1,4 @@
-from pigo_tpu.parallel.mesh import make_mesh
+from pigo_tpu.parallel.mesh import init_distributed, make_mesh
 from pigo_tpu.parallel.sharded import ShardedFaceCascade
 
-__all__ = ["make_mesh", "ShardedFaceCascade"]
+__all__ = ["init_distributed", "make_mesh", "ShardedFaceCascade"]

@@ -25,3 +25,24 @@ def make_mesh(
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:n]), (axis_name,))
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host setup: jax.distributed.initialize + global device count.
+
+    Call once per host process before building meshes; with no arguments
+    JAX autodetects the cluster (TPU pod environments). Frame batches shard
+    over `jax.devices()` (all hosts); the all_gather of per-chip hit lists
+    rides ICI within a slice and DCN across hosts. Returns the global
+    device count. Safe to call on a single host (no-op)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+    return len(jax.devices())

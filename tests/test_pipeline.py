@@ -146,3 +146,38 @@ def test_detect_stream_matches_detect():
                           key=jax.random.fold_in(key, i))
         assert [r.to_json_dict() for r in got] == \
                [r.to_json_dict() for r in want]
+
+
+def test_detect_stream_device_matches_detect():
+    """The device-resident pipeline produces the same faces (exact) and the
+    same eyes/landmarks up to ensemble-RNG tolerance (the fixed face-slot
+    program draws different uniforms than the per-face host program)."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    frames = [gray, np.roll(gray, 3, axis=1)]
+    det = FaceDetector()
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(3)
+    streamed = list(det.detect_stream_device(iter(frames), params, key=key,
+                                             depth=2))
+    assert len(streamed) == 2
+    for i, (frame, got) in enumerate(zip(frames, streamed)):
+        want = det.detect(frame, rows, cols, params,
+                          key=jax.random.fold_in(key, i))
+        assert len(got) == len(want) >= 1
+        for g, w in zip(got, want):
+            assert (g.face.row, g.face.col, g.face.scale) == \
+                   (w.face.row, w.face.col, w.face.scale)
+            assert abs(g.face.q - w.face.q) < 1e-3
+            assert len(g.eyes) == len(w.eyes)
+            for ge, we in zip(g.eyes, w.eyes):
+                assert abs(ge.row - we.row) <= 3 and abs(ge.col - we.col) <= 3
+            assert len(g.landmarks) == len(w.landmarks)
+            for gp, wp in zip(g.landmarks, w.landmarks):
+                assert abs(gp.row - wp.row) <= 6 and abs(gp.col - wp.col) <= 6
