@@ -72,11 +72,14 @@ CHUNK = 2 * LANE  # plane chunk width (max reliable dynamic-roll vector)
 # so most of the chip's ~128MB VMEM is available; 64MB keeps headroom for
 # Mosaic's own buffers and covers 1080p plane layouts at d == step.
 PLANES_VMEM_BUDGET = 64 * 1024 * 1024
-# Scales with fewer real windows than one 8x128 tile are routed to a fallback
-# engine: their tiles are mostly padding, yet large-scale windows survive the
-# soft cascade longest (measured: the <1024-window tail is ~35% of all
-# tile-tree-steps for the 320x400 headline pyramid but <1.5% of the windows).
-TAIL_MIN_WINDOWS = 1024
+# Scales with few real windows are routed to a fallback engine: their tiles
+# are mostly padding, yet large-scale windows survive the soft cascade
+# longest (measured on the 320x400 headline pyramid: the <1024-window tail
+# was ~35% of all tile-tree-steps for <1.5% of the windows; raising the
+# cutoff to 2048 moves another ~18% of tile-steps — scales with only a few
+# 16x128 tiles, where one surviving window stalls the whole scale — onto the
+# overlapped host engine).
+TAIL_MIN_WINDOWS = 6144
 
 
 def _round_up(x: int, m: int) -> int:

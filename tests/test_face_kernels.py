@@ -60,9 +60,9 @@ def test_pallas_interpret_single_scale(fc_pallas, sample_gray, face_forest):
     from pigo_tpu.ops import face_pallas as fp
 
     rows, cols = sample_gray.shape
-    # min 150 at shift 0.4 yields <1024 windows on this image, which the
-    # planner routes to the tail fallback; 60 at shift 0.1 stays dense.
-    plan = fp.build_dense_plan(face_forest, rows, cols, 60, 70, 0.1, 1.3)
+    # scales below TAIL_MIN_WINDOWS route to the tail fallback; scale 20 at
+    # shift 0.1 (~28k windows) always stays dense.
+    plan = fp.build_dense_plan(face_forest, rows, cols, 20, 25, 0.1, 1.3)
     sps = [sp for sp in plan.scales if not sp.fallback]
     assert sps, "expected at least one dense scale"
     sp = sps[0]
