@@ -31,7 +31,7 @@ _lib = None
 _lib_lock = threading.Lock()
 
 _CXXFLAGS = [
-    "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+    "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread",
     "-ffp-contract=off", "-Wall",
 ]
 
