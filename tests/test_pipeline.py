@@ -181,3 +181,26 @@ def test_detect_stream_device_matches_detect():
             assert len(g.landmarks) == len(w.landmarks)
             for gp, wp in zip(g.landmarks, w.landmarks):
                 assert abs(gp.row - wp.row) <= 6 and abs(gp.col - wp.col) <= 6
+
+
+def test_full_pipeline_rotated():
+    """Rotated end-to-end pass (angle as fraction of 2*pi): face via the
+    rotated classifiers, pupils via the rotated regression walk."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    det = FaceDetector()
+    # small angle: the upright portrait should still be found
+    results = det.detect(gray, rows, cols, CascadeParams(100, 400, 0.15, 1.15),
+                         angle=0.03, iou_threshold=0.2,
+                         key=jax.random.PRNGKey(0))
+    assert len(results) >= 1
+    r = results[0]
+    assert 150 < r.face.row < 260 and 100 < r.face.col < 210
+    assert len(r.eyes) == 2
+    assert len(r.landmarks) == 15
