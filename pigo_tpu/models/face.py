@@ -613,6 +613,60 @@ class FaceCascade:
             axis=1,
         )
 
+    def run_cascade_sweep(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        angles,  # iterable of angles in [0, 1] (fractions of 2*pi)
+        *,
+        min_size: int = 20,
+        max_size: int = 1000,
+        shift_factor: float = 0.1,
+        scale_factor: float = 1.1,
+    ) -> np.ndarray:
+        """In-plane rotated detection sweep (BASELINE config #2): the full
+        pyramid at every angle, concatenated as [N, 5] rows
+        (row, col, scale, q, angle). The upright pass runs on the device
+        (dispatched first, asynchronously); rotated passes run on the host
+        engine underneath it. Cluster the result with a small IoU threshold
+        to merge the same face found at neighboring angles."""
+        kw = dict(min_size=min_size, max_size=max_size,
+                  shift_factor=shift_factor, scale_factor=scale_factor)
+        angles = list(angles)
+        upright_ticket = None
+        if any(a <= 0.0 for a in angles):
+            upright_ticket = self._dispatch_single(
+                pixels, rows, cols, **kw)  # async; host work overlaps
+        parts = []
+        for a in angles:
+            if a <= 0.0:
+                continue
+            dets = self.run_cascade(pixels, rows, cols, angle=a, **kw)
+            parts.append(np.concatenate(
+                [dets, np.full((dets.shape[0], 1), a)], axis=1))
+        if upright_ticket is not None:
+            dets = self._collect_single(upright_ticket)
+            parts.insert(0, np.concatenate(
+                [dets, np.zeros((dets.shape[0], 1))], axis=1))
+        if not parts:
+            return np.zeros((0, 5), dtype=np.float64)
+        return np.concatenate(parts)
+
+    def detect_sweep(
+        self,
+        pixels: np.ndarray | jax.Array,
+        rows: int,
+        cols: int,
+        angles,
+        *,
+        iou_threshold: float = 0.01,
+        **kw,
+    ) -> np.ndarray:
+        """Angle sweep + cross-angle IoU clustering -> clusters [M, 4]."""
+        dets = self.run_cascade_sweep(pixels, rows, cols, angles, **kw)
+        return cluster_detections(dets[:, :4], iou_threshold)
+
     def detect(
         self,
         pixels: np.ndarray | jax.Array,

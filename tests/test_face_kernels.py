@@ -155,3 +155,26 @@ def test_stream_hits_parity_and_order(sample_gray, face_forest):
         assert len(outs) == len(frames)
         for got, want in zip(outs, wants):
             assert np.array_equal(got, want)
+
+
+def test_angle_sweep(sample_gray, face_forest):
+    """Rotated sweep (BASELINE config #2): per-angle results match the
+    single-angle path, and cross-angle clustering keeps the face."""
+    from pigo_tpu.ops.cluster import cluster_detections
+
+    fc = FaceCascade(face_forest, backend="pallas")
+    rows, cols = sample_gray.shape
+    cfg = dict(min_size=100, max_size=400, shift_factor=0.2,
+               scale_factor=1.25)
+    angles = [0.0, 0.03, 0.97]
+    sweep = fc.run_cascade_sweep(sample_gray, rows, cols, angles, **cfg)
+    assert sweep.shape[1] == 5
+    for a in angles:
+        want = fc.run_cascade(sample_gray, rows, cols, angle=a, **cfg)
+        got = sweep[sweep[:, 4] == a][:, :4]
+        assert np.array_equal(got, want)
+    clusters = fc.detect_sweep(sample_gray, rows, cols, angles,
+                               iou_threshold=0.01, **cfg)
+    assert clusters.shape[0] >= 1
+    best = clusters[np.argmax(clusters[:, 3])]
+    assert 150 < best[0] < 260 and 100 < best[1] < 210
