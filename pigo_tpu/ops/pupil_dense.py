@@ -115,18 +115,18 @@ def _walk_impl(
                     jnp.maximum(0, ci + qsin * k2 + qcos * col2) >> 16,
                     0, ncols - 1,
                 )
-                p1 = pixels[r1 * dim + c1]
-                p2 = pixels[r2 * dim + c2]
+                # one fused gather for both probe pixels (gather ops are the
+                # latency unit of this walk)
+                px = pixels[jnp.stack([r1 * dim + c1, r2 * dim + c2])]
                 # rotated bintest polarity quirk (puploc.go:193-199)
-                b = (p1 <= p2).astype(jnp.int32)
+                b = (px[0] <= px[1]).astype(jnp.int32)
             else:
                 r1 = jnp.clip((ri + k0 * si) >> 8, 0, nrows - 1)
                 r2 = jnp.clip((ri + k2 * si) >> 8, 0, nrows - 1)
                 c1 = jnp.clip((ci + cs * k1 * si) >> 8, 0, ncols - 1)
                 c2 = jnp.clip((ci + cs * k3 * si) >> 8, 0, ncols - 1)
-                p1 = pixels[r1 * dim + c1]
-                p2 = pixels[r2 * dim + c2]
-                b = (p1 > p2).astype(jnp.int32)
+                px = pixels[jnp.stack([r1 * dim + c1, r2 * dim + c2])]
+                b = (px[0] > px[1]).astype(jnp.int32)
             return 2 * idx + 1 + b
 
         idx0 = jnp.zeros_like(node_base)
