@@ -105,26 +105,13 @@ class FaceResult:
         return out
 
 
-def _fused_post_impl(
-    key, frows, fcols, fscales, pixels,
-    pcodes, ppreds, lcodes, lpreds,
-    *, f, perturbs, rows, cols, dim, angle_idx, rotated,
-    pupil_geom, lmk_geom, lmk_cids, lmk_flips,
-):
-    """Eyes + landmarks for F faces as ONE XLA program.
-
-    The eye-anchor geometry (cmd/pigo/main.go:416-458), both perturbation
-    ensembles, the landmark anchor (core/flploc.go:37-43), and all medians
-    run on device; the host receives a single [3, 2F + 15F] result. On a
-    high-latency host link this collapses the per-face call cascade of the
-    reference (2 + 15 sequential RunDetector calls) into one round trip."""
-    import jax.numpy as jnp
-    from pigo_tpu.ops import pupil_dense
-
-    k_eyes, k_lmk = jax.random.split(key)
-    npts = lmk_cids.shape[0] // f if f else 0
-
-    # ---- eye anchors + ensemble ----
+def _device_eye_anchors(frows, fcols, fscales):
+    """Eye anchors from face rows (cmd/pigo/main.go:416-458) computed on
+    device in f32. NOTE: the host pipeline computes int(0.075*s) etc. in
+    f64; trunc(f32(0.175)*s) differs at s in {360, 680, 720} by one pixel,
+    so device-resident paths that cannot see the faces on the host
+    (detect_stream_device) carry a documented one-pixel anchor tolerance
+    at those scales. Host-driven paths pass exact f64-derived anchors."""
     s = fscales.astype(jnp.float32)
     erow = jnp.repeat(frows.astype(jnp.float32)
                       - jnp.trunc(jnp.float32(0.075) * s), 2)
@@ -135,6 +122,30 @@ def _fused_post_impl(
          fcols.astype(jnp.float32) + off_r], axis=1
     ).reshape(-1)
     escale = jnp.repeat(s * jnp.float32(0.25), 2)
+    return erow, ecol, escale
+
+
+def _fused_post_impl(
+    key, erow, ecol, escale, pixels,
+    pcodes, ppreds, lcodes, lpreds,
+    *, f, perturbs, rows, cols, dim, angle_idx, rotated,
+    pupil_geom, lmk_geom, lmk_cids, lmk_flips,
+):
+    """Eyes + landmarks for F faces as ONE XLA program.
+
+    Takes the 2F eye anchors (erow/ecol/escale) precomputed — exactly, in
+    f64, by host callers (cmd/pigo/main.go:416-458 semantics) or on device
+    by _device_detect_impl. Both perturbation ensembles, the landmark anchor
+    (core/flploc.go:37-43), and all medians run on device; the host receives
+    a single [3, 2F + 15F] result. On a high-latency host link this
+    collapses the per-face call cascade of the reference (2 + 15 sequential
+    RunDetector calls) into one round trip."""
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_dense
+
+    k_eyes, k_lmk = jax.random.split(key)
+    npts = lmk_cids.shape[0] // f if f else 0
+
     u_eyes = jax.random.uniform(k_eyes, (2 * f, perturbs, 3), jnp.float32)
     sg, tg, dg, mg = pupil_geom
     eyes = pupil_dense._ensemble_impl(
@@ -172,6 +183,30 @@ _fused_post = jax.jit(
         "pupil_geom", "lmk_geom",
     ),
 )
+
+def _attach_post(res, eyes, lmk, i, npts, perturbs):
+    """Attach face i's voted eyes and landmark points to a FaceResult,
+    applying the reference validity gates (eye coords > 0 before landmarks
+    count, cmd/pigo/main.go:422-470)."""
+    left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),
+                  scale=float(eyes[2, 2 * i]), perturbs=perturbs)
+    right = Puploc(row=int(eyes[0, 2 * i + 1]),
+                   col=int(eyes[1, 2 * i + 1]),
+                   scale=float(eyes[2, 2 * i + 1]), perturbs=perturbs)
+    if left.row > 0 and left.col > 0:
+        res.eyes.append(left)
+    if right.row > 0 and right.col > 0:
+        res.eyes.append(right)
+    if left.row > 0 and left.col > 0 and right.row > 0 and right.col > 0:
+        res.landmarks = [
+            p for p in (
+                Puploc(row=int(lmk[0, i, j]), col=int(lmk[1, i, j]),
+                       scale=float(lmk[2, i, j]), perturbs=perturbs)
+                for j in range(npts)
+            )
+            if p.row > 0 and p.col > 0
+        ]
+
 
 # Capacities of the device-resident frame program (_device_detect): dense
 # hits + host-tail detections entering on-device clustering, and the fixed
@@ -230,9 +265,12 @@ def _device_detect_impl(
     eyed = fvalid & (faces[:, 2] > jnp.float32(MIN_EYE_FACE_SCALE))
 
     # ---- fused eyes + landmarks over the fixed face slots ----
-    post = _fused_post_impl(
-        key, faces[:, 0], faces[:, 1],
+    erow, ecol, escale = _device_eye_anchors(
+        faces[:, 0], faces[:, 1],
         jnp.where(eyed, faces[:, 2], jnp.float32(100.0)),  # safe pad anchor
+    )
+    post = _fused_post_impl(
+        key, erow, ecol, escale,
         pixels, pcodes, ppreds, lcodes, lpreds,
         f=DEV_MAX_FACES, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
         angle_idx=angle_idx, rotated=rotated,
@@ -433,22 +471,20 @@ class FaceDetector:
                                         k_post),
                 ))
 
+        depth = max(1, depth)
         for i, frame in enumerate(frames):
             rows, cols = frame.shape[-2], frame.shape[-1]
             faceq.append(
                 (frame, i,
                  fc._dispatch_single(frame, rows, cols, **kw))
             )
+            # postq grows by at most one per advance_face, so popping once
+            # whenever it reaches `depth` keeps len(postq) <= depth
             if len(faceq) >= 2:
                 due = postq.popleft() if len(postq) >= depth else None
                 advance_face(due)
                 if due is not None:
                     yield due[0]
-            while len(postq) > depth:
-                results, ticket = postq.popleft()
-                if ticket is not None:
-                    self._collect_post(ticket)
-                yield results
         while faceq:
             due = postq.popleft() if postq else None
             advance_face(due)
@@ -480,7 +516,16 @@ class FaceDetector:
         `detect()` at tolerance level; coordinates match."""
         import collections
 
+        if self.pupil is None or self.landmarks is None:
+            # the device program bakes in both forests; fall back to the
+            # host streaming pipeline for partial configurations
+            yield from self.detect_stream(
+                frames, params, angle, iou_threshold, perturbs, key,
+                depth=depth,
+            )
+            return
         key = key if key is not None else jax.random.PRNGKey(0)
+        depth = max(1, depth)
         q: collections.deque = collections.deque()
         for i, frame in enumerate(frames):
             k_frame, k_post = jax.random.split(jax.random.fold_in(key, i))
@@ -571,28 +616,7 @@ class FaceDetector:
                 row=int(faces[i, 0]), col=int(faces[i, 1]),
                 scale=int(faces[i, 2]), q=float(faces[i, 3])))
             if eyed[i]:
-                left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),
-                              scale=float(eyes[2, 2 * i]), perturbs=perturbs)
-                right = Puploc(row=int(eyes[0, 2 * i + 1]),
-                               col=int(eyes[1, 2 * i + 1]),
-                               scale=float(eyes[2, 2 * i + 1]),
-                               perturbs=perturbs)
-                if left.row > 0 and left.col > 0:
-                    res.eyes.append(left)
-                if right.row > 0 and right.col > 0:
-                    res.eyes.append(right)
-                if (left.row > 0 and left.col > 0 and right.row > 0
-                        and right.col > 0):
-                    res.landmarks = [
-                        p for p in (
-                            Puploc(row=int(lmk[0, i, j]),
-                                   col=int(lmk[1, i, j]),
-                                   scale=float(lmk[2, i, j]),
-                                   perturbs=perturbs)
-                            for j in range(npts)
-                        )
-                        if p.row > 0 and p.col > 0
-                    ]
+                _attach_post(res, eyes, lmk, i, npts, perturbs)
             results.append(res)
         return results
 
@@ -609,11 +633,19 @@ class FaceDetector:
         lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
         rotated = angle > 0.0
         angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        # exact f64 anchor truncation on host (main.go:416-458; f32 trunc
+        # would differ by one pixel at face scales 360/680/720)
+        erow, ecol, escale = [], [], []
+        for r in eyed:
+            s = r.face.scale
+            erow += [r.face.row - int(0.075 * s)] * 2
+            ecol += [r.face.col - int(0.175 * s), r.face.col + int(0.185 * s)]
+            escale += [float(s) * 0.25] * 2
         fut = _fused_post(
             key,
-            jnp.asarray([r.face.row for r in eyed], jnp.float32),
-            jnp.asarray([r.face.col for r in eyed], jnp.float32),
-            jnp.asarray([r.face.scale for r in eyed], jnp.float32),
+            jnp.asarray(erow, jnp.float32),
+            jnp.asarray(ecol, jnp.float32),
+            jnp.asarray(escale, jnp.float32),
             jnp.asarray(gray, jnp.uint8).reshape(-1),
             self.pupil.codes, self.pupil.preds,
             self.landmarks.codes, self.landmarks.preds,
@@ -639,22 +671,5 @@ class FaceDetector:
             out = np.asarray(fut)  # one round trip
         eyes, lmk = out[:, : 2 * f], out[:, 2 * f :].reshape(3, f, npts)
         for i, res in enumerate(eyed):
-            left = Puploc(row=int(eyes[0, 2 * i]), col=int(eyes[1, 2 * i]),
-                          scale=float(eyes[2, 2 * i]), perturbs=perturbs)
-            right = Puploc(row=int(eyes[0, 2 * i + 1]),
-                           col=int(eyes[1, 2 * i + 1]),
-                           scale=float(eyes[2, 2 * i + 1]), perturbs=perturbs)
-            if left.row > 0 and left.col > 0:
-                res.eyes.append(left)
-            if right.row > 0 and right.col > 0:
-                res.eyes.append(right)
-            if left.row > 0 and left.col > 0 and right.row > 0 and right.col > 0:
-                res.landmarks = [
-                    p for p in (
-                        Puploc(row=int(lmk[0, i, j]), col=int(lmk[1, i, j]),
-                               scale=float(lmk[2, i, j]), perturbs=perturbs)
-                        for j in range(npts)
-                    )
-                    if p.row > 0 and p.col > 0
-                ]
+            _attach_post(res, eyes, lmk, i, npts, perturbs)
         return eyed

@@ -185,6 +185,20 @@ class FaceCascade:
         def dense_fn_full(img2d):
             return dense_full_jit(img2d, tables_dev, self.preds_flat, self.thresh_flat)
 
+        # batched variant keeps the tables as runtime arguments too (vmap
+        # only over the frame axis); a vmap over the closure dense_fn would
+        # bake them into the executable as constants
+        dense_sparse_batch = jax.jit(
+            jax.vmap(dense_sparse, in_axes=(0, None, None, None))
+        )
+
+        def dense_fn_batch(frames):
+            return dense_sparse_batch(
+                frames, tables_dev, self.preds_flat, self.thresh_flat
+            )
+
+        self._batch_fns[key] = dense_fn_batch
+
         # dense window index -> global plan window index (fallback interleave)
         maps = []
         off = 0
@@ -232,12 +246,14 @@ class FaceCascade:
         nat = self._native_tail()
         if nat is not None:
             return nat.run_scales(
-                np.asarray(img2d).ravel(), rows, cols,
+                np.asarray(img2d, np.uint8).ravel(), rows, cols,
                 np.asarray(fb_scales, np.int32), shift_factor=shift_factor,
             )
+        # cast like every other path: non-uint8 host input must not reach
+        # the gather kernel raw (its compares would see untruncated values)
         fb_plan, fb_q = self._gather_scores(
-            img2d.reshape(-1), rows, cols, cols, min_size, max_size,
-            shift_factor, scale_factor, 0.0, fb_scales,
+            jnp.asarray(img2d, jnp.uint8).reshape(-1), rows, cols, cols,
+            min_size, max_size, shift_factor, scale_factor, 0.0, fb_scales,
         )
         fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
         hit = fb_q > 0.0
@@ -404,6 +420,13 @@ class FaceCascade:
             ])
         else:
             packed = np.asarray(fut)
+        return self._decode_hits(packed, fb, plan, d2g, dense_fn_full, img2d)
+
+    def _decode_hits(self, packed, fb, plan, d2g, dense_fn_full, img2d):
+        """Unpack one frame's packed hit list and merge the tail detections
+        in reference scan order. Shared by the single, batched, and
+        streaming collect paths."""
+        cap = self.HIT_CAPACITY
         count = int(packed[0])
         if count > cap:  # capacity overflow: dense re-read (rare)
             q_dense = np.asarray(dense_fn_full(img2d))
@@ -448,10 +471,7 @@ class FaceCascade:
         )
         if plan.num_windows == 0:
             return (None, None, None, b, plan, d2g, dense_fn_full, frames)
-        batch_fn = self._batch_fns.get(key)
-        if batch_fn is None:
-            batch_fn = jax.jit(jax.vmap(dense_fn))
-            self._batch_fns[key] = batch_fn
+        batch_fn = self._batch_fns[key]  # registered by _dense_plan
         fut = batch_fn(frames) if d2g.size else None  # async dispatch
         if fut is not None:
             try:
@@ -485,35 +505,13 @@ class FaceCascade:
             # empty per-frame hit lists (idx slots -1, see _collect_single)
             packed = np.zeros((b, 1 + 2 * cap), np.float32)
             packed[:, 1 : 1 + cap] = -1.0
-        out = []
-        for i in range(b):
-            count = int(packed[i, 0])
-            if count > cap:  # capacity overflow: dense re-read (rare)
-                q_dense = np.asarray(dense_fn_full(frames[i]))
-                sel = q_dense > 0.0
-                idx_valid = np.nonzero(sel)[0]
-                qv_valid = q_dense[sel]
-            else:
-                idx = packed[i, 1 : 1 + cap].astype(np.int64)
-                valid = idx >= 0
-                idx_valid = idx[valid]
-                qv_valid = packed[i, 1 + cap :][valid].astype(np.float32)
-            gidx = d2g[idx_valid] if d2g.size else idx_valid
-            dets = np.stack(
-                [
-                    plan.rows_w[gidx].astype(np.float64),
-                    plan.cols_w[gidx].astype(np.float64),
-                    plan.scale_w[gidx].astype(np.float64),
-                    qv_valid.astype(np.float64),
-                ],
-                axis=1,
+        return [
+            self._decode_hits(
+                packed[i], fbs[i] if fbs is not None else None, plan, d2g,
+                dense_fn_full, frames[i],
             )
-            if fbs is not None and fbs[i].shape[0]:
-                dets = np.concatenate([dets, fbs[i]])
-                order = np.argsort(dets[:, 2], kind="stable")
-                dets = dets[order]
-            out.append(dets)
-        return out
+            for i in range(b)
+        ]
 
     def sparse_hits_batch(
         self,

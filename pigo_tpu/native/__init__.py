@@ -41,8 +41,15 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    if os.path.exists(_SO):
+        try:
+            if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+                return _SO
+        except OSError:
+            # sources absent (installed package): use the prebuilt library
+            return _SO
+    if not os.path.exists(_SRC):
+        raise NativeUnavailable(f"native sources missing: {_SRC}")
     cmd = ["g++", *_CXXFLAGS, "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -116,12 +123,20 @@ def _bind(lib: ctypes.CDLL) -> None:
 
 
 def load_library() -> ctypes.CDLL:
-    """Build (if stale) and load the native engine. Thread-safe, cached."""
+    """Build (if stale) and load the native engine. Thread-safe, cached.
+
+    Raises NativeUnavailable on every failure mode (missing toolchain,
+    missing sources, corrupt/incompatible shared object)."""
     global _lib
     with _lib_lock:
         if _lib is None:
-            lib = ctypes.CDLL(_build())
-            _bind(lib)
+            try:
+                lib = ctypes.CDLL(_build())
+                _bind(lib)
+            except NativeUnavailable:
+                raise
+            except (OSError, AttributeError) as e:
+                raise NativeUnavailable(f"native load failed: {e}") from e
             _lib = lib
         return _lib
 
@@ -228,14 +243,17 @@ class NativeFaceCascade:
                    q_thresh: float = 5.0) -> np.ndarray:
         """cgo-bridge-shaped one-call pipeline -> int64 [N, 3] (row, col, scale)."""
         pix = np.ascontiguousarray(pixels, dtype=np.uint8).ravel()
-        cap = 1 + 3 * 1024
-        out = np.zeros(cap, dtype=np.int64)
-        n = self._lib.pigo_find_faces(
-            self._h, _u8ptr(pix), rows, cols, min_size, max_size,
-            shift_factor, scale_factor, angle, iou_threshold, q_thresh,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
-        n = min(int(n), 1024)
-        return out[1:1 + 3 * n].reshape(n, 3).copy()
+        faces = 1024
+        while True:
+            cap = 1 + 3 * faces
+            out = np.zeros(cap, dtype=np.int64)
+            n = int(self._lib.pigo_find_faces(
+                self._h, _u8ptr(pix), rows, cols, min_size, max_size,
+                shift_factor, scale_factor, angle, iou_threshold, q_thresh,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap))
+            if n <= faces:
+                return out[1:1 + 3 * n].reshape(n, 3).copy()
+            faces = n
 
 
 class NativePupilLocalizer:

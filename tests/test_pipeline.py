@@ -204,3 +204,26 @@ def test_full_pipeline_rotated():
     assert 150 < r.face.row < 260 and 100 < r.face.col < 210
     assert len(r.eyes) == 2
     assert len(r.landmarks) == 15
+
+
+def test_stream_edge_configs():
+    """depth=0 is clamped; detect_stream_device falls back to the host
+    stream for partial detector configurations instead of crashing."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    params = CascadeParams(100, 400, 0.3, 1.3)
+    det_full = FaceDetector()
+    outs = list(det_full.detect_stream([gray, gray], params, depth=0,
+                                       key=jax.random.PRNGKey(0)))
+    assert len(outs) == 2 and len(outs[0]) >= 1
+    det_faces_only = FaceDetector(with_pupils=False, with_landmarks=False)
+    outs = list(det_faces_only.detect_stream_device(
+        [gray], params, key=jax.random.PRNGKey(0)))
+    assert len(outs) == 1 and len(outs[0]) >= 1
+    assert outs[0][0].eyes == []
