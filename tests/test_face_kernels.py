@@ -178,3 +178,29 @@ def test_angle_sweep(sample_gray, face_forest):
     assert clusters.shape[0] >= 1
     best = clusters[np.argmax(clusters[:, 3])]
     assert 150 < best[0] < 260 and 100 < best[1] < 210
+
+
+def test_hit_capacity_overflow_reread(sample_gray, face_forest, monkeypatch):
+    """When the packed hit list overflows, the dense re-read path must
+    produce the same detections. Dense-scale hits require small faces, so
+    the frame is tiled with downscaled portraits."""
+    from PIL import Image
+
+    tiny_face = np.asarray(
+        Image.fromarray(sample_gray).resize((18, 22)), np.uint8
+    )
+    # a few small faces on a plain background: enough hits to overflow the
+    # shrunken capacity while most tiles still exit early (interpret mode)
+    frame = np.full((200, 176), 200, np.uint8)
+    for r0 in (30, 100):
+        for c0 in (20, 75, 130):
+            frame[r0:r0 + 22, c0:c0 + 18] = tiny_face
+    rows, cols = frame.shape
+    cfg = dict(min_size=20, max_size=26, shift_factor=0.1, scale_factor=1.2)
+    fc_ref2 = FaceCascade(face_forest, backend="pallas")
+    want = fc_ref2.run_cascade(frame, rows, cols, **cfg)
+    assert want.shape[0] > 4, "frame must yield >4 dense hits"
+    monkeypatch.setattr(FaceCascade, "HIT_CAPACITY", 4)
+    fc_tiny = FaceCascade(face_forest, backend="pallas")
+    got = fc_tiny.run_cascade(frame, rows, cols, **cfg)
+    assert np.array_equal(got, want)

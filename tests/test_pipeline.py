@@ -227,3 +227,27 @@ def test_stream_edge_configs():
         [gray], params, key=jax.random.PRNGKey(0)))
     assert len(outs) == 1 and len(outs[0]) >= 1
     assert outs[0][0].eyes == []
+
+
+def test_detect_stream_device_face_overflow():
+    """More faces than the device program's fixed slots -> transparent
+    fallback to the exact host pipeline."""
+    import jax
+    from pigo_tpu.detector import (CascadeParams, DEV_MAX_FACES,
+                                   FaceDetector)
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    many = np.concatenate([gray] * (DEV_MAX_FACES + 1), axis=1)
+    det = FaceDetector()
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(1)
+    got = list(det.detect_stream_device([many], params, key=key))[0]
+    want = det.detect(many, rows, many.shape[1], params,
+                      key=jax.random.fold_in(key, 0))
+    assert len(got) == len(want) == DEV_MAX_FACES + 1
+    assert [(r.face.row, r.face.col, r.face.scale) for r in got] == \
+           [(r.face.row, r.face.col, r.face.scale) for r in want]
