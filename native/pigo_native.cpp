@@ -731,6 +731,18 @@ void pigo_landmark_run(void* h, double left_row, double left_col,
 // (0.299R + 0.587G + 0.114B)/256 truncated to uint8.
 void pigo_grayscale(const uint8_t* img, int64_t npix, int channels,
                     uint8_t* out) {
+  if (channels < 3) {
+    // 1-channel (grayscale) and 2-channel (gray+alpha) inputs: the single
+    // luma channel passes through (alpha-premultiplied like NRGBA.RGBA()
+    // with r=g=b). Reading p[1]/p[2] here would run past the buffer.
+    for (int64_t i = 0; i < npix; ++i) {
+      const uint8_t* p = img + i * channels;
+      int64_t v = int64_t(p[0]) * 257;
+      if (channels == 2 && p[1] != 255) v = v * p[1] / 255;
+      out[i] = uint8_t(double(v) / 256.0);
+    }
+    return;
+  }
   for (int64_t i = 0; i < npix; ++i) {
     const uint8_t* p = img + i * channels;
     int64_t r = int64_t(p[0]) * 257;

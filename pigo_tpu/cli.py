@@ -131,75 +131,82 @@ def main(argv: list[str] | None = None) -> int:
     spinner = Spinner("Processing...")
     spinner.start()
 
-    if detect_file_content_type(args.cascade_file) != "application/octet-stream":
-        print("the provided cascade classifier is not valid", file=sys.stderr)
+    def fail(msg: str) -> int:
+        # stop BEFORE writing: the spinner thread redraws the current
+        # stderr line and its cleanup would erase the message
+        spinner.stop()
+        print(msg, file=sys.stderr)
         return 1
 
-    face = FaceCascade.from_file(args.cascade_file)
-    pupil = None
-    landmarks = None
-    if args.puploc:
-        pupil = PupilLocalizer.from_file(args.puploc)
-    if args.flploc:
-        if pupil is None:
-            print("the puploc cascade file is required: use the -plc flag",
-                  file=sys.stderr)
-            return 1
-        landmarks = LandmarkLocalizer(load_landmark_dir(args.flploc))
+    try:
+        if detect_file_content_type(args.cascade_file) != "application/octet-stream":
+            return fail("the provided cascade classifier is not valid")
 
-    det = FaceDetector(face=face, pupil=pupil, landmarks=landmarks,
-                       with_pupils=pupil is not None,
-                       with_landmarks=landmarks is not None)
+        face = FaceCascade.from_file(args.cascade_file)
+        pupil = None
+        landmarks = None
+        if args.puploc:
+            pupil = PupilLocalizer.from_file(args.puploc)
+        if args.flploc:
+            if pupil is None:
+                return fail(
+                    "the puploc cascade file is required: use the -plc flag")
+            landmarks = LandmarkLocalizer(load_landmark_dir(args.flploc))
 
-    img = decode_image(read_source(args.source))
-    rows, cols = img.shape[0], img.shape[1]
-    gray = rgb_to_grayscale(img)
+        det = FaceDetector(face=face, pupil=pupil, landmarks=landmarks,
+                           with_pupils=pupil is not None,
+                           with_landmarks=landmarks is not None)
 
-    results = det.detect(
-        gray, rows, cols,
-        CascadeParams(args.min_size, args.max_size,
-                      args.shift_factor, args.scale_factor),
-        angle=args.angle, iou_threshold=args.iou_threshold,
-        key=jax.random.PRNGKey(args.seed),
-    )
+        img = decode_image(read_source(args.source))
+        rows, cols = img.shape[0], img.shape[1]
+        gray = rgb_to_grayscale(img)
 
-    if args.dest != "empty":
-        annotated = draw_results(img, results, args.marker, args.mark_eyes)
-        out_img = Image.fromarray(annotated)
-        if args.dest == PIPE:
-            if sys.stdout.isatty():
-                print("`-` should be used with a pipe for stdout",
-                      file=sys.stderr)
-                return 1
-            buf = io.BytesIO()
-            out_img.convert("RGB").save(buf, format="JPEG", quality=100)
-            sys.stdout.buffer.write(buf.getvalue())
-        else:
-            ext = os.path.splitext(args.dest.lower())[1]
-            if ext not in ("", ".jpg", ".jpeg", ".png"):
-                print(f"Output file type not supported: {ext}", file=sys.stderr)
-                return 1
-            if ext == ".png":
-                out_img.save(args.dest, format="PNG")
+        results = det.detect(
+            gray, rows, cols,
+            CascadeParams(args.min_size, args.max_size,
+                          args.shift_factor, args.scale_factor),
+            angle=args.angle, iou_threshold=args.iou_threshold,
+            key=jax.random.PRNGKey(args.seed),
+        )
+
+        if args.dest != "empty":
+            annotated = draw_results(img, results, args.marker, args.mark_eyes)
+            out_img = Image.fromarray(annotated)
+            if args.dest == PIPE:
+                if sys.stdout.isatty():
+                    return fail("`-` should be used with a pipe for stdout")
+                buf = io.BytesIO()
+                out_img.convert("RGB").save(buf, format="JPEG", quality=100)
+                sys.stdout.buffer.write(buf.getvalue())
             else:
-                out_img.convert("RGB").save(args.dest, format="JPEG", quality=100)
+                ext = os.path.splitext(args.dest.lower())[1]
+                if ext not in ("", ".jpg", ".jpeg", ".png"):
+                    return fail(f"Output file type not supported: {ext}")
+                if ext == ".png":
+                    out_img.save(args.dest, format="PNG")
+                else:
+                    out_img.convert("RGB").save(args.dest, format="JPEG",
+                                                quality=100)
 
-    payload = [r.to_json_dict() for r in results]
-    if args.jsonf:
-        text = json.dumps(payload)
-        if args.jsonf == PIPE:
-            print(text)
+        spinner.stop()
+        payload = [r.to_json_dict() for r in results]
+        if args.jsonf:
+            text = json.dumps(payload)
+            if args.jsonf == PIPE:
+                print(text)
+            else:
+                with open(args.jsonf, "w") as fh:
+                    fh.write(text + "\n")
+
+        n = len(payload)
+        if n:
+            print(f"\n{n} face(s) detected", file=sys.stderr)
         else:
-            with open(args.jsonf, "w") as fh:
-                fh.write(text + "\n")
-
-    n = len(payload)
-    if n:
-        print(f"\n{n} face(s) detected", file=sys.stderr)
-    else:
-        print("\nno detected faces!", file=sys.stderr)
-    print(f"Execution time: {time.time() - start:.2f}s", file=sys.stderr)
-    return 0
+            print("\nno detected faces!", file=sys.stderr)
+        print(f"Execution time: {time.time() - start:.2f}s", file=sys.stderr)
+        return 0
+    finally:
+        spinner.stop()
 
 
 if __name__ == "__main__":

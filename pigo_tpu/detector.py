@@ -105,13 +105,19 @@ class FaceResult:
         return out
 
 
+def _eye_anchor_offsets(s: int) -> tuple[int, int, int]:
+    """Reference eye-anchor offsets for face scale s, computed in float32
+    exactly like Go (cmd/pigo/main.go:417-458): `int(0.075*float32(s))`
+    multiplies in f32 (the untyped constant adopts float32), then truncates.
+    f64 would differ by one pixel at s in {360, 680, 720}."""
+    f = np.float32
+    return (int(f(0.075) * f(s)), int(f(0.175) * f(s)), int(f(0.185) * f(s)))
+
+
 def _device_eye_anchors(frows, fcols, fscales):
     """Eye anchors from face rows (cmd/pigo/main.go:416-458) computed on
-    device in f32. NOTE: the host pipeline computes int(0.075*s) etc. in
-    f64; trunc(f32(0.175)*s) differs at s in {360, 680, 720} by one pixel,
-    so device-resident paths that cannot see the faces on the host
-    (detect_stream_device) carry a documented one-pixel anchor tolerance
-    at those scales. Host-driven paths pass exact f64-derived anchors."""
+    device. trunc(f32(0.175) * f32(s)) reproduces the reference's f32
+    arithmetic bit-exactly (and matches the host `_eye_anchor_offsets`)."""
     s = fscales.astype(jnp.float32)
     erow = jnp.repeat(frows.astype(jnp.float32)
                       - jnp.trunc(jnp.float32(0.075) * s), 2)
@@ -372,31 +378,7 @@ class FaceDetector:
         if not eyed:
             return results
         key, k_post = jax.random.split(key)
-        if self.landmarks is not None:
-            self._detect_fused(eyed, gray, rows, cols, angle, perturbs, k_post)
-            return results
-        # pupils-only configuration
-        anchors = []
-        for res in eyed:
-            face = res.face
-            s = face.scale
-            anchors.append(Puploc(
-                row=face.row - int(0.075 * s),
-                col=face.col - int(0.175 * s),
-                scale=float(s) * 0.25, perturbs=perturbs,
-            ))
-            anchors.append(Puploc(
-                row=face.row - int(0.075 * s),
-                col=face.col + int(0.185 * s),
-                scale=float(s) * 0.25, perturbs=perturbs,
-            ))
-        eyes = self.pupil.run_detector_multi(
-            anchors, gray, rows, cols, angle=angle, key=k_post
-        )
-        for i, res in enumerate(eyed):
-            for e in (eyes[2 * i], eyes[2 * i + 1]):
-                if e.row > 0 and e.col > 0:
-                    res.eyes.append(e)
+        self._detect_fused(eyed, gray, rows, cols, angle, perturbs, k_post)
         return results
 
     def _detect_fused(self, eyed, gray, rows, cols, angle, perturbs, key):
@@ -461,7 +443,7 @@ class FaceDetector:
                 res for res in results
                 if res.face.scale > MIN_EYE_FACE_SCALE
             ]
-            if self.pupil is None or self.landmarks is None or not eyed:
+            if self.pupil is None or not eyed:
                 postq.append((results, None))
             else:
                 postq.append((
@@ -528,9 +510,9 @@ class FaceDetector:
         depth = max(1, depth)
         q: collections.deque = collections.deque()
         for i, frame in enumerate(frames):
-            k_frame, k_post = jax.random.split(jax.random.fold_in(key, i))
             q.append(self._dispatch_frame_device(
-                frame, params, angle, iou_threshold, perturbs, k_post))
+                frame, params, angle, iou_threshold, perturbs,
+                jax.random.fold_in(key, i)))
             if len(q) >= depth:
                 yield self._collect_frame_device(q.popleft())
         while q:
@@ -538,6 +520,11 @@ class FaceDetector:
 
     def _dispatch_frame_device(self, frame, params, angle, iou_threshold,
                                perturbs, key):
+        # `key` is the frame's full fold_in(key, i); the device program uses
+        # the second split half (matching detect()'s key, k_post = split(key))
+        # and the UN-split key rides the ticket so an overflow fallback to
+        # detect() reproduces the exact same perturbation uniforms.
+        _, k_post = jax.random.split(key)
         fc = self.face
         rows, cols = frame.shape[-2], frame.shape[-1]
         cfg = (params.min_size, params.max_size, params.shift_factor,
@@ -572,7 +559,7 @@ class FaceDetector:
         fut = _device_detect(
             packed, jnp.asarray(tail_np), jnp.int32(tail_n),
             arrays["rows_w"], arrays["cols_w"], arrays["scale_w"],
-            arrays["d2g"], key, img2d.reshape(-1),
+            arrays["d2g"], k_post, img2d.reshape(-1),
             self.pupil.codes, self.pupil.preds,
             self.landmarks.codes, self.landmarks.preds,
             hit_cap=cap, iou_threshold=float(iou_threshold),
@@ -621,9 +608,43 @@ class FaceDetector:
         return results
 
     def _dispatch_post(self, eyed, gray, rows, cols, angle, perturbs, key):
-        """Async half: dispatch the fused eyes+landmarks program."""
+        """Async half: dispatch the fused eyes+landmarks program (or, for a
+        pupils-only configuration, the eyes-only ensemble)."""
         f = len(eyed)
         pg = self.pupil.forest
+        rotated = angle > 0.0
+        angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        # reference-exact f32 anchor truncation (main.go:416-458), shared
+        # with the device path (_eye_anchor_offsets docstring)
+        erow, ecol, escale = [], [], []
+        for r in eyed:
+            o_row, o_l, o_r = _eye_anchor_offsets(r.face.scale)
+            erow += [r.face.row - o_row] * 2
+            ecol += [r.face.col - o_l, r.face.col + o_r]
+            escale += [float(r.face.scale) * 0.25] * 2
+        if self.landmarks is None:
+            # pupils-only: same uniforms as run_detector_multi(key=key)
+            from pigo_tpu.ops import pupil_dense
+
+            u = jax.random.uniform(key, (2 * f, perturbs, 3), jnp.float32)
+            fut = pupil_dense.ensemble(
+                self.pupil.codes, self.pupil.preds,
+                jnp.zeros(2 * f, jnp.int32),
+                jnp.asarray(erow, jnp.float32),
+                jnp.asarray(ecol, jnp.float32),
+                jnp.asarray(escale, jnp.float32),
+                jnp.zeros(2 * f, bool), u,
+                jnp.asarray(gray, jnp.uint8).reshape(-1),
+                stages=pg.stages, trees=pg.trees, depth=pg.depth,
+                nrows=rows, ncols=cols, dim=cols,
+                scale_mult=float(pg.scale_mult),
+                rotated=rotated, angle_idx=angle_idx,
+            )
+            try:
+                fut.copy_to_host_async()
+            except AttributeError:
+                pass
+            return (fut, eyed, f, 0, perturbs)
         lg = self.landmarks.geometry
         sched = self.landmarks.point_schedule
         npts = len(sched)
@@ -631,16 +652,6 @@ class FaceDetector:
             np.array([self.landmarks._name_to_id[n] for n, _ in sched],
                      np.int32), f)
         lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
-        rotated = angle > 0.0
-        angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
-        # exact f64 anchor truncation on host (main.go:416-458; f32 trunc
-        # would differ by one pixel at face scales 360/680/720)
-        erow, ecol, escale = [], [], []
-        for r in eyed:
-            s = r.face.scale
-            erow += [r.face.row - int(0.075 * s)] * 2
-            ecol += [r.face.col - int(0.175 * s), r.face.col + int(0.185 * s)]
-            escale += [float(s) * 0.25] * 2
         fut = _fused_post(
             key,
             jnp.asarray(erow, jnp.float32),

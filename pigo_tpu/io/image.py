@@ -47,6 +47,14 @@ def rgb_to_grayscale(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img)
     if img.ndim == 2:  # already grayscale
         return np.ascontiguousarray(img, dtype=np.uint8).ravel()
+    if img.shape[-1] < 3:
+        # (H, W, 1) grayscale / (H, W, 2) gray+alpha: expanding to NRGBA
+        # (r=g=b) and applying the luma formula returns the gray value
+        # itself (premultiplied by alpha when present)
+        v = img[..., 0].astype(np.int64) * 257
+        if img.shape[-1] == 2 and not np.all(img[..., 1] == 255):
+            v = v * img[..., 1].astype(np.int64) // 255
+        return (v.astype(np.float64) / 256.0).astype(np.uint8).ravel()
     rgb = img[..., :3].astype(np.int64)
     if img.shape[-1] == 4 and not np.all(img[..., 3] == 255):
         # Go NRGBA.RGBA() premultiply: v16 = (v8*257) * a / 255 (integer div).

@@ -58,3 +58,36 @@ def test_grayscale_premultiplied_alpha():
 def test_grayscale_2d_passthrough():
     g = np.arange(16, dtype=np.uint8).reshape(4, 4)
     assert np.array_equal(rgb_to_grayscale(g), g.ravel())
+
+
+def test_grayscale_low_channel_counts():
+    """(H, W, 1) and (H, W, 2) inputs must not read past the channel axis
+    (the NRGBA expansion has r=g=b, so luma == the gray value)."""
+    rng = np.random.default_rng(0)
+    g1 = rng.integers(0, 256, (5, 7, 1), dtype=np.uint8)
+    assert np.array_equal(rgb_to_grayscale(g1), g1[..., 0].ravel())
+    g2 = np.concatenate(
+        [g1, np.full((5, 7, 1), 255, np.uint8)], axis=-1
+    )  # opaque gray+alpha
+    assert np.array_equal(rgb_to_grayscale(g2), g1[..., 0].ravel())
+    g2a = g2.copy()
+    g2a[..., 1] = 128  # premultiplied: v*257*128//255, /256 truncated
+    want = (
+        (g1[..., 0].astype(np.int64) * 257 * 128 // 255).astype(np.float64)
+        / 256.0
+    ).astype(np.uint8).ravel()
+    assert np.array_equal(rgb_to_grayscale(g2a), want)
+
+
+def test_native_grayscale_low_channel_counts():
+    from pigo_tpu import native as nat
+
+    if not nat.native_available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(1)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (6, 5, ch), dtype=np.uint8)
+        got = nat.native_grayscale(img)
+        assert np.array_equal(got, rgb_to_grayscale(img)), f"channels={ch}"

@@ -249,5 +249,60 @@ def test_detect_stream_device_face_overflow():
     want = det.detect(many, rows, many.shape[1], params,
                       key=jax.random.fold_in(key, 0))
     assert len(got) == len(want) == DEV_MAX_FACES + 1
-    assert [(r.face.row, r.face.col, r.face.scale) for r in got] == \
-           [(r.face.row, r.face.col, r.face.scale) for r in want]
+    # the fallback reruns detect() with the frame's full fold_in key, so
+    # eyes/landmarks (not just faces) reproduce exactly
+    assert [r.to_json_dict() for r in got] == \
+           [r.to_json_dict() for r in want]
+
+
+def test_eye_anchor_f32_truncation():
+    """Reference anchors are trunc(f32(0.175)*f32(s)) (main.go:417-458):
+    at s=360 f32 gives 63 while f64 gives 62 — both host and device paths
+    must use the f32 semantics (ADVICE r1)."""
+    import jax.numpy as jnp
+    from pigo_tpu.detector import _device_eye_anchors, _eye_anchor_offsets
+
+    assert int(0.175 * 360) == 62  # the f64 trap this guards against
+    for s, want in ((360, 63), (680, 119), (720, 126)):
+        assert _eye_anchor_offsets(s)[1] == want, s
+    # device anchors agree with the host offsets for every scale
+    for s in (51, 100, 238, 360, 680, 720, 999):
+        o_row, o_l, o_r = _eye_anchor_offsets(s)
+        erow, ecol, _ = _device_eye_anchors(
+            jnp.asarray([100.0]), jnp.asarray([200.0]),
+            jnp.asarray([float(s)]))
+        assert int(erow[0]) == 100 - o_row
+        assert int(ecol[0]) == 200 - o_l and int(ecol[1]) == 200 + o_r
+
+
+def test_detect_stream_pupils_only_matches_detect():
+    """A pupils-only configuration (CLI -plc without -flpc) must localize
+    eyes in the stream exactly like detect() (ADVICE r1: the eye stage was
+    skipped entirely)."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    frames = [gray, np.roll(gray, 2, axis=1)]
+    det = FaceDetector(with_landmarks=False)
+    assert det.pupil is not None and det.landmarks is None
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(5)
+    streamed = list(det.detect_stream(iter(frames), params, key=key, depth=2))
+    assert len(streamed) == 2
+    for i, (frame, got) in enumerate(zip(frames, streamed)):
+        want = det.detect(frame, rows, cols, params,
+                          key=jax.random.fold_in(key, i))
+        assert [r.to_json_dict() for r in got] == \
+               [r.to_json_dict() for r in want]
+        assert all(len(r.eyes) == 2 for r in got)
+    # detect_stream_device falls back to the host stream for this partial
+    # configuration and must inherit the fix
+    dev = list(det.detect_stream_device(iter(frames), params, key=key,
+                                        depth=2))
+    assert [r.to_json_dict() for r in dev[0]] == \
+           [r.to_json_dict() for r in streamed[0]]
