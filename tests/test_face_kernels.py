@@ -84,16 +84,72 @@ def test_pallas_interpret_single_scale(fc_pallas, sample_gray, face_forest):
     assert np.array_equal(q, qo)
 
 
-def test_rotated_classifier_quirks(face_forest, sample_gray):
-    """The rotated path must clamp columns with nrows-1 (reference quirk)."""
-    rows, cols = sample_gray.shape
-    # windows near the right edge where col + offset would exceed nrows-1
-    rs = np.array([60, 200])
-    cs = np.array([300, 310])
+def test_rotated_classifier_quirks():
+    """The rotated path must clamp COLUMNS with nrows-1, not ncols-1
+    (reference quirk, core/pigo.go:167-171): on a tall image an edge
+    window's column read runs past the row end into the NEXT row.
+
+    Hand-constructed value assertion: a synthetic 1-tree depth-1 forest
+    whose single node reads (angle=0.25, i.e. 90 deg: qcos=0, qsin=256)
+        px1 at col c + (127*scale >> 8)  -> raw col 49 on a 32-wide image
+        px2 at (r, c)
+    With the quirk, px1 clamps to min(nrows-1=63, 49) = 49 and wraps to
+    pixel (r+1, 17) = 0 -> bintest 1 -> leaf +3 -> score 13.
+    A 'corrected' ncols-1 clamp would read (r, 31) = 255 -> bintest 0 ->
+    leaf -1 -> score 9. The oracle must return 13."""
+    from pigo_tpu.cascade.format import FaceForest
+
+    rows, cols = 64, 32
+    scale, angle = 60, 0.25
+    r, c = 10, 20
+    codes = np.zeros((1, 2, 4), np.int8)
+    codes[0, 1] = (127, 0, 0, 0)  # node 1: (code_r1, code_c1, code_r2, code_c2)
+    preds = np.array([[-1.0, 3.0]], np.float32)  # leaf[bit]
+    thresh = np.array([-10.0], np.float32)  # never early-exits
+    forest = FaceForest(depth=1, codes=codes, preds=preds, thresh=thresh)
+
+    pix = np.full(rows * cols, 100, np.uint8)
+    pix[r * cols + 49] = 0    # the quirk-wrapped read: (r+1, col 17)
+    pix[r * cols + 31] = 255  # what a 'corrected' clamp would read: (r, 31)
+
+    # sanity: the node's rotated column offset is 127*60*256 >> 16 -> col 49
+    assert c + ((127 * scale * 256) >> 16) == 49 > cols - 1
+
     q = oracle_classify_rotated_region(
-        face_forest, rs, cs, 100, 0.5, rows, cols, sample_gray.ravel(), cols
+        forest, np.array([r]), np.array([c]), scale, angle, rows, cols,
+        pix, cols,
     )
-    assert q.shape == (2,)  # runs without out-of-range indexing
+    assert q[0] == np.float32(3.0 - (-10.0))  # quirk: bintest 1 -> 13
+    # a corrected ncols-1 clamp would instead read 255 -> bintest 0 -> 9,
+    # so the input provably discriminates the two clamps
+    assert q[0] != np.float32(-1.0 - (-10.0))
+
+
+def test_tail_cutoff_boundary_routing(face_forest):
+    """A scale with EXACTLY TAIL_MIN_WINDOWS windows stays on the dense
+    Pallas path (the cutoff is strict-less-than); one window fewer routes
+    to the tail engine — and both produce oracle-exact detections."""
+    from pigo_tpu.ops import face_pallas as fp
+
+    rng = np.random.default_rng(7)
+    # scale 20 at shift 0.1: step 2, offset 11
+    # rows=212 -> nr=96; cols=148 -> nc=64 -> 96*64 = 6144 = TAIL_MIN_WINDOWS
+    assert fp.TAIL_MIN_WINDOWS == 6144
+    for cols, want_fallback in ((148, False), (146, True)):
+        rows = 212
+        img = rng.integers(0, 256, (rows, cols), dtype=np.uint8)
+        plan = fp.build_dense_plan(face_forest, rows, cols, 20, 20, 0.1, 1.1)
+        assert len(plan.scales) == 1
+        nwin = plan.scales[0].nr_real * plan.scales[0].nc_real
+        assert (nwin == 6144) == (not want_fallback)
+        assert plan.scales[0].fallback == want_fallback, (cols, nwin)
+        fc = FaceCascade(face_forest, backend="pallas")
+        dets = fc.run_cascade(img, rows, cols, min_size=20, max_size=20,
+                              shift_factor=0.1, scale_factor=1.1)
+        oracle = oracle_run_cascade(
+            face_forest, img.ravel(), rows, cols, cols, 20, 20, 0.1, 1.1)
+        assert dets.shape == oracle.shape
+        assert np.array_equal(dets, oracle)
 
 
 def test_tiny_image_no_windows(fc_pallas):
