@@ -198,6 +198,9 @@ class FaceCascade:
             )
 
         self._batch_fns[key] = dense_fn_batch
+        # raw (unjitted) kernel-chain + device tables, for the multi-chip
+        # path (parallel/sharded.py) to re-stage under shard_map
+        self._batch_fns[("raw",) + key] = (dense_sparse, scores, tables_dev)
 
         # dense window index -> global plan window index (fallback interleave)
         maps = []

@@ -88,7 +88,14 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class ScalePlan:
-    """Static geometry + node tables for one pyramid scale."""
+    """Static geometry + node tables for one pyramid scale.
+
+    For rotated plans (angle_idx > 0) the dense kernel covers only the
+    INTERIOR window rectangle — window centers far enough from every edge
+    that the reference's rotated clamps (core/pigo.go:167-171) can never
+    trigger, making the node reads window-independent again. `r0`/`c0` are
+    the interior origin on the reference grid and `i_lo`/`j_lo` its grid
+    indices; border windows route to the host band scan."""
 
     scale: int
     step: int  # reference step k
@@ -97,7 +104,7 @@ class ScalePlan:
     offset: int
     nr: int  # evaluation-grid rows
     nc: int  # evaluation-grid cols
-    nr_real: int  # reference-grid rows (== nr when subsample == 1)
+    nr_real: int  # interior reference-grid rows (== nr when subsample == 1)
     nc_real: int
     prg: int  # plane rows per phase
     chunk_stride: int  # R = d*d*prg (plane rows before chunking)
@@ -106,7 +113,20 @@ class ScalePlan:
     n_col_tiles: int
     total_rows: int  # chunked plane rows incl. tail, 1024-bucketed
     tables: np.ndarray  # int32 [T, 2^depth-1, 2] packed node reads
-    fallback: bool  # True -> exact gather kernel handles this scale
+    fallback: bool  # True -> tail engine handles the whole scale
+    r0: int = 0  # interior origin (reference-grid window center)
+    c0: int = 0
+    i_lo: int = 0  # interior origin as full-grid indices
+    j_lo: int = 0
+    nr_full: int = 0  # full reference-grid extent (row/col window counts)
+    nc_full: int = 0
+
+    @property
+    def has_border(self) -> bool:
+        """True when the host must scan border windows of this scale."""
+        return (not self.fallback) and (
+            self.nr_real != self.nr_full or self.nc_real != self.nc_full
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,33 +138,83 @@ class DensePlan:
     rows_w: np.ndarray  # int32 [num_windows] real window coordinates,
     cols_w: np.ndarray  # in reference scan order (scale-major, row, col)
     scale_w: np.ndarray
+    angle_idx: int = 0  # quantized rotation index int(32*angle); 0 = upright
 
     @property
     def has_fallback(self) -> bool:
-        return any(sp.fallback for sp in self.scales)
+        return any(sp.fallback or sp.has_border for sp in self.scales)
+
+    @property
+    def border_bands(self) -> np.ndarray:
+        """int32 [B, 5] rows (scale, r_lo, r_hi, c_lo, c_hi): per dense
+        scale with a border, the INTERIOR window-center rectangle
+        (inclusive) the device already covers — the host band scan runs the
+        scale's full reference grid EXCLUDING this rectangle."""
+        rows = [
+            (sp.scale, sp.r0, sp.r0 + (sp.nr_real - 1) * sp.step,
+             sp.c0, sp.c0 + (sp.nc_real - 1) * sp.step)
+            for sp in self.scales
+            if sp.has_border
+        ]
+        return np.asarray(rows, np.int32).reshape(-1, 5)
+
+
+# Quantized 256-scaled rotation tables (reference core/pigo.go:156-157),
+# duplicated from oracle/face.py by design: the golden fixtures
+# (tests/golden/) catch a correlated edit.
+QCOS_TABLE = np.array(
+    [256, 251, 236, 212, 181, 142, 97, 49, 0, -49, -97, -142, -181, -212,
+     -236, -251, -256, -251, -236, -212, -181, -142, -97, -49, 0, 49, 97,
+     142, 181, 212, 236, 251, 256], dtype=np.int64)
+QSIN_TABLE = np.array(
+    [0, 49, 97, 142, 181, 212, 236, 251, 256, 251, 236, 212, 181, 142, 97,
+     49, 0, -49, -97, -142, -181, -212, -236, -251, -256, -251, -236, -212,
+     -181, -142, -97, -49, 0], dtype=np.int64)
+
+
+def _node_offsets(forest: FaceForest, scale: int, angle_idx: int):
+    """Per-node integer pixel offsets ((dr1, dc1), (dr2, dc2)), each
+    [T, L-1]. Upright: (code*s) >> 8 (core/pigo.go:119-135). Rotated:
+    (qcos*code_r -/+ qsin*code_c) >> 16 with the quantized tables
+    (core/pigo.go:156-171) — exact because (r*65536 + num) >> 16
+    == r + (num >> 16) for the arithmetic shift, so the offset is
+    window-independent wherever the clamps cannot trigger."""
+    codes = forest.codes.astype(np.int64)  # [T, L, 4]
+    s = int(scale)
+    if angle_idx == 0:
+        return (
+            ((codes[:, 1:, 0] * s) >> 8, (codes[:, 1:, 1] * s) >> 8),
+            ((codes[:, 1:, 2] * s) >> 8, (codes[:, 1:, 3] * s) >> 8),
+        )
+    qs = s * int(QSIN_TABLE[angle_idx])
+    qc = s * int(QCOS_TABLE[angle_idx])
+    return (
+        ((qc * codes[:, 1:, 0] - qs * codes[:, 1:, 1]) >> 16,
+         (qs * codes[:, 1:, 0] + qc * codes[:, 1:, 1]) >> 16),
+        ((qc * codes[:, 1:, 2] - qs * codes[:, 1:, 3]) >> 16,
+         (qs * codes[:, 1:, 2] + qc * codes[:, 1:, 3]) >> 16),
+    )
 
 
 def _build_scale_tables(
-    forest: FaceForest, scale: int, d: int, offset: int, prg: int, r_stride: int
+    forest: FaceForest, scale: int, d: int, r0: int, c0: int, prg: int,
+    r_stride: int, angle_idx: int = 0,
 ) -> np.ndarray:
-    """Packed SMEM node tables for one scale at evaluation step d."""
-    codes = forest.codes.astype(np.int64)  # [T, L, 4]
-    s = int(scale)
+    """Packed SMEM node tables for one scale at evaluation step d, window
+    grid origin (r0, c0)."""
 
-    def pack(code_r, code_c):
-        dr = (code_r * s) >> 8
-        dc = (code_c * s) >> 8
-        gr = offset + dr  # global image coords of the node read for window (0,0)
-        gc = offset + dc
+    (dr1, dc1), (dr2, dc2) = _node_offsets(forest, scale, angle_idx)
+
+    def pack(dr, dc):
+        gr = r0 + dr  # global image coords of the node read for window (0,0)
+        gc = c0 + dc
         plane_row = ((gr % d) * d + (gc % d)) * prg + gr // d
         v0 = gc // d
         s1 = (v0 >> 7) * r_stride + plane_row
         return (s1 << 7) | (v0 & 127)
 
-    p1 = pack(codes[:, 1:, 0], codes[:, 1:, 1])
-    p2 = pack(codes[:, 1:, 2], codes[:, 1:, 3])
-    packed = np.stack([p1, p2], axis=-1)
-    if packed.max() >= (1 << 31):
+    packed = np.stack([pack(dr1, dc1), pack(dr2, dc2)], axis=-1)
+    if packed.max() >= (1 << 31) or packed.min() < 0:
         raise ValueError("scale table packing overflow")
     return packed.astype(np.int32)  # [T, L-1, 2]
 
@@ -157,34 +227,73 @@ def build_dense_plan(
     max_size: int,
     shift_factor: float,
     scale_factor: float,
+    angle_idx: int = 0,
 ) -> DensePlan:
-    """Host-side planner: per-scale geometry, decimation choice, node tables."""
+    """Host-side planner: per-scale geometry, decimation choice, node tables.
+
+    angle_idx > 0 plans the rotated cascade (core/pigo.go:150-191): the
+    dense kernel covers each scale's interior window rectangle — where the
+    quantized-rotation clamps can never trigger, so node reads stay
+    window-independent — and the border band routes to the host tail scan.
+    """
     plans: list[ScalePlan] = []
     rws, cws, sws = [], [], []
     s_max = 128  # |code| <= 128: node offsets reach ((+-128)*s) >> 8
     for scale in pyramid_scales(min_size, max_size, scale_factor):
         k = int(max(shift_factor * scale, 1.0))
         offset = scale // 2 + 1
-        nr_real = (rows - 2 * offset) // k + 1
-        nc_real = (cols - 2 * offset) // k + 1
-        if nr_real <= 0 or nc_real <= 0:
+        nr_full = (rows - 2 * offset) // k + 1
+        nc_full = (cols - 2 * offset) // k + 1
+        if nr_full <= 0 or nc_full <= 0:
             continue
         rr = np.arange(offset, rows - offset + 1, k, dtype=np.int32)
         cc = np.arange(offset, cols - offset + 1, k, dtype=np.int32)
-        rws.append(np.repeat(rr, nc_real))
-        cws.append(np.tile(cc, nr_real))
-        sws.append(np.full(nr_real * nc_real, scale, np.int32))
+        rws.append(np.repeat(rr, nc_full))
+        cws.append(np.tile(cc, nr_full))
+        sws.append(np.full(nr_full * nc_full, scale, np.int32))
 
-        if nr_real * nc_real < TAIL_MIN_WINDOWS:
-            plans.append(
-                ScalePlan(
-                    scale=scale, step=k, eval_step=k, subsample=1,
-                    offset=offset, nr=nr_real, nc=nc_real, nr_real=nr_real,
-                    nc_real=nc_real, prg=0, chunk_stride=0, n_chunks=0,
-                    n_row_tiles=0, n_col_tiles=0, total_rows=0,
-                    tables=np.zeros((0,), np.int32), fallback=True,
-                )
+        def fallback_plan():
+            return ScalePlan(
+                scale=scale, step=k, eval_step=k, subsample=1,
+                offset=offset, nr=nr_full, nc=nc_full, nr_real=nr_full,
+                nc_real=nc_full, prg=0, chunk_stride=0, n_chunks=0,
+                n_row_tiles=0, n_col_tiles=0, total_rows=0,
+                tables=np.zeros((0,), np.int32), fallback=True,
+                r0=offset, c0=offset, i_lo=0, j_lo=0,
+                nr_full=nr_full, nc_full=nc_full,
             )
+
+        if angle_idx == 0:
+            # upright reads never clamp: the whole grid is interior
+            i_lo = j_lo = 0
+            nr_int, nc_int = nr_full, nc_full
+            dr_hi = dc_hi = (s_max * scale) >> 8  # conservative reach
+        else:
+            (dr1, dc1), (dr2, dc2) = _node_offsets(forest, scale, angle_idx)
+            dr_lo = int(min(dr1.min(), dr2.min()))
+            dr_hi = int(max(dr1.max(), dr2.max()))
+            dc_lo = int(min(dc1.min(), dc2.min()))
+            dc_hi = int(max(dc1.max(), dc2.max()))
+            # interior window centers: every read in-bounds on both axes
+            # (cols are clamped with nrows-1 AND must not wrap past the
+            # row end, hence the min(rows, cols) bound)
+            col_hi = min(rows, cols) - 1
+            r_min, r_max = -dr_lo, rows - 1 - dr_hi
+            c_min, c_max = -dc_lo, col_hi - dc_hi
+            i_lo = max(0, -(-(r_min - offset) // k))
+            i_hi = min(nr_full - 1, (r_max - offset) // k)
+            j_lo = max(0, -(-(c_min - offset) // k))
+            j_hi = min(nc_full - 1, (c_max - offset) // k)
+            nr_int = i_hi - i_lo + 1
+            nc_int = j_hi - j_lo + 1
+            if nr_int <= 0 or nc_int <= 0:
+                plans.append(fallback_plan())
+                continue
+        r0 = offset + i_lo * k
+        c0 = offset + j_lo * k
+
+        if nr_int * nc_int < TAIL_MIN_WINDOWS:
+            plans.append(fallback_plan())
             continue
 
         # Largest divisor of k whose plane layout fits VMEM wins: it minimizes
@@ -194,16 +303,15 @@ def build_dense_plan(
         chosen = None
         for d in sorted((x for x in range(1, k + 1) if k % x == 0), reverse=True):
             m = k // d
-            nr = (nr_real - 1) * m + 1
-            nc = (nc_real - 1) * m + 1
-            dr_max = (s_max * scale) >> 8
+            nr = (nr_int - 1) * m + 1
+            nc = (nc_int - 1) * m + 1
             nrt = _round_up(nr, TILE_R) // TILE_R
             nct = _round_up(nc, LANE) // LANE
             # Planes carry only the rows real windows read; pad-window and
             # 16-row-aligned over-reads spill into the next plane (or the
             # global tail), which is harmless since those values are unused.
-            prg = (offset + dr_max) // d + nr + 1
-            v0_max = (offset + dr_max) // d
+            prg = (r0 + dr_hi) // d + nr + 1
+            v0_max = (c0 + dc_hi) // d
             r_stride = d * d * prg
             n_chunks = (v0_max >> 7) + nct
             tail = (nrt * TILE_R - nr) + 2 * TILE_R
@@ -219,25 +327,19 @@ def build_dense_plan(
                           total_rows)
                 break
         if chosen is None:
-            plans.append(
-                ScalePlan(
-                    scale=scale, step=k, eval_step=k, subsample=1, offset=offset,
-                    nr=nr_real, nc=nc_real, nr_real=nr_real, nc_real=nc_real,
-                    prg=0, chunk_stride=0, n_chunks=0, n_row_tiles=0,
-                    n_col_tiles=0, total_rows=0,
-                    tables=np.zeros((0,), np.int32), fallback=True,
-                )
-            )
+            plans.append(fallback_plan())
             continue
         d, m, nr, nc, prg, r_stride, n_chunks, nrt, nct, total_rows = chosen
         plans.append(
             ScalePlan(
                 scale=scale, step=k, eval_step=d, subsample=m, offset=offset,
-                nr=nr, nc=nc, nr_real=nr_real, nc_real=nc_real,
+                nr=nr, nc=nc, nr_real=nr_int, nc_real=nc_int,
                 prg=prg, chunk_stride=r_stride, n_chunks=n_chunks,
                 n_row_tiles=nrt, n_col_tiles=nct, total_rows=total_rows,
-                tables=_build_scale_tables(forest, scale, d, offset, prg, r_stride),
-                fallback=False,
+                tables=_build_scale_tables(forest, scale, d, r0, c0, prg,
+                                           r_stride, angle_idx),
+                fallback=False, r0=r0, c0=c0, i_lo=i_lo, j_lo=j_lo,
+                nr_full=nr_full, nc_full=nc_full,
             )
         )
     if rws:
@@ -248,7 +350,7 @@ def build_dense_plan(
         rows_w = cols_w = scale_w = np.zeros(0, np.int32)
     return DensePlan(
         rows=rows, cols=cols, scales=plans, num_windows=rows_w.size,
-        rows_w=rows_w, cols_w=cols_w, scale_w=scale_w,
+        rows_w=rows_w, cols_w=cols_w, scale_w=scale_w, angle_idx=angle_idx,
     )
 
 
@@ -279,9 +381,16 @@ def _make_planes(img_f32: jax.Array, sp: ScalePlan) -> jax.Array:
 def _kernel_body(t_num: int, depth: int, thresh_last: float):
     """Shared kernel builder; bucketed geometry => few distinct compilations.
 
-    SMEM inputs: meta [3] = (nr, nc, chunk_stride R); tables
-    [T*(2^depth-1)*2] packed nodes; preds [T*2^depth]; thresh [T].
+    SMEM inputs: meta [5] = (nr, nc, chunk_stride R, row-tile offset,
+    last real row-tile index); tables [T*(2^depth-1)*2] packed nodes;
+    preds [T*2^depth]; thresh [T].
     VMEM: planes [n_chunks*R + tail (1024-bucketed), 256].
+
+    The row-tile offset shards the window grid: a device evaluating the
+    row-tile band [off, off+grid_rows) passes meta[3]=off; grid position tr
+    maps to global row tile min(tr+off, meta[4]) (the clamp keeps pad tiles
+    past the real grid reading in-bounds plane rows — their outputs are
+    either masked by the pad mask or sliced away by the caller).
 
     The while_loop body evaluates CHUNK_TREES trees per iteration (largest of
     4/2/1 dividing t_num): the loop-condition min-reduction over the fail
@@ -292,7 +401,7 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
     chunk_trees = 4 if t_num % 4 == 0 else (2 if t_num % 2 == 0 else 1)
 
     def kernel(meta_ref, tables_ref, preds_ref, thresh_ref, planes_ref, q_ref):
-        tr = pl.program_id(0)
+        tr = jnp.minimum(pl.program_id(0) + meta_ref[3], meta_ref[4])
         ct = pl.program_id(1)
         row0 = tr * TILE_R + ct * meta_ref[2]
         nr = meta_ref[0]
@@ -374,18 +483,33 @@ def scale_scores(
     preds: jax.Array,  # f32 [T*2^depth]
     thresh: jax.Array,  # f32 [T]
     interpret: bool = False,
+    tile_off: jax.Array | int = 0,
+    n_row_tiles: int | None = None,
 ) -> jax.Array:
-    """Dense scores [nr_real, nc_real] for one scale."""
+    """Dense scores for one scale.
+
+    Default: the full eval grid, returned as [nr_real, nc_real] (subsampled
+    to the reference grid). With `tile_off`/`n_row_tiles` a caller (the
+    window-sharded multi-chip path) evaluates only the row-tile band
+    [tile_off, tile_off + n_row_tiles) and receives the RAW padded block
+    [n_row_tiles*TILE_R, n_col_tiles*LANE] — slicing/subsampling is then
+    the caller's job (tile_off may be a traced per-device value)."""
     planes = _make_planes(img_f32, sp)
     kernel = _kernel_body(
         forest.num_trees,
         forest.depth,
         float(forest.thresh[forest.num_trees - 1]),
     )
-    meta = jnp.asarray([sp.nr, sp.nc, sp.chunk_stride], jnp.int32)
+    banded = n_row_tiles is not None
+    nrt = n_row_tiles if banded else sp.n_row_tiles
+    meta = jnp.concatenate([
+        jnp.asarray([sp.nr, sp.nc, sp.chunk_stride], jnp.int32),
+        jnp.asarray(tile_off, jnp.int32).reshape(1),
+        jnp.asarray([sp.n_row_tiles - 1], jnp.int32),
+    ])
     q = pl.pallas_call(
         kernel,
-        grid=(sp.n_row_tiles, sp.n_col_tiles),
+        grid=(nrt, sp.n_col_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -397,10 +521,12 @@ def scale_scores(
             (TILE_R, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (sp.n_row_tiles * TILE_R, sp.n_col_tiles * LANE), jnp.float32
+            (nrt * TILE_R, sp.n_col_tiles * LANE), jnp.float32
         ),
         interpret=interpret,
     )(meta, tables, preds, thresh, planes)
+    if banded:
+        return q
     q = q[: sp.nr, : sp.nc]
     if sp.subsample > 1:
         q = q[:: sp.subsample, :: sp.subsample]

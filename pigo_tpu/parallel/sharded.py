@@ -1,31 +1,36 @@
-"""Multi-chip detection via jax.sharding + shard_map.
+"""Multi-chip detection via jax.sharding + shard_map — on the PRODUCTION
+Pallas kernels (the same code path as FaceCascade.sparse_hits).
 
 Two strategies (cascade weights always replicated — they are 234KB):
 
-1. **Window sharding** (`window_sharded_hits`): one frame's flat pyramid
-   window axis is split across the mesh; each chip classifies its window
-   shard against the replicated image, compacts its local hits to a fixed-
-   capacity list, and the lists are all-gathered over ICI for global
-   clustering. This is the structural analog of sequence parallelism for
-   the PICO workload (SURVEY.md section 5).
+1. **Window sharding** (`window_sharded_hits`): one frame's pyramid window
+   grid is split across the mesh by row-tile bands — each chip runs the
+   dense phase-decimated Pallas kernel (ops/face_pallas.py) over its band
+   of every dense scale (the kernel's SMEM meta carries the band's tile
+   offset), compacts its local hits on device to a fixed-capacity
+   (index, score) list, and the lists are all-gathered over ICI. A psum'd
+   per-chip overflow flag triggers an exact dense re-read on the host
+   (mirroring the single-chip overflow path, models/face.py). This is the
+   structural analog of sequence parallelism for the PICO workload
+   (SURVEY.md section 5); the reference scales nothing — its RunCascade
+   hot loop (core/pigo.go:212-258) is single-threaded.
 
-2. **Frame data parallelism** (`batch_scores`): a batch of frames is sharded
-   over the mesh; each chip runs the full pyramid on its local frames; a
-   psum provides the global detection count. No cross-frame communication
-   is needed (clustering is per frame).
+2. **Frame data parallelism** (`batch_hits`): a batch of frames is sharded
+   over the mesh; each chip runs the full per-frame Pallas pyramid + hit
+   compaction on its local frames (vmapped `dense_sparse`, the exact
+   serving kernel chain). Per-frame results decode through the same
+   `_decode_hits` as the single-chip path — including the per-frame
+   capacity-overflow dense re-read and the host-tail merge.
 
-Both are built on the gather-backend classifier (pure jnp) so they compile
-on any mesh, including the 8-virtual-device CPU mesh used in tests and the
-driver's multi-chip dry run.
+Fallback (sparse-tail) scales are handled by the host tail engine exactly
+as in the single-chip path and merged in reference scan order.
 """
 
 from __future__ import annotations
 
-import functools
-
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8 moved shard_map out of experimental
@@ -34,82 +39,100 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from pigo_tpu.models.face import FaceCascade
-from pigo_tpu.ops import face_dense
+from pigo_tpu.ops import face_pallas
 from pigo_tpu.ops.cluster import cluster_detections
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 class ShardedFaceCascade:
-    """FaceCascade scaled over a device mesh."""
+    """FaceCascade scaled over a device mesh (Pallas fast path)."""
 
     def __init__(self, mesh: Mesh, face: FaceCascade | None = None,
-                 hit_capacity: int = 512):
+                 hit_capacity: int = 1024):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n = mesh.devices.size
-        self.face = face if face is not None else FaceCascade(backend="reference")
+        self.face = face if face is not None else FaceCascade()
         self.cap = hit_capacity
         self._fns: dict[tuple, object] = {}
 
     # ---------------------------------------------------- window sharding
 
-    def _window_fn(self, rows, cols, dim, min_size, max_size, shift, scale_f):
-        key = ("win", rows, cols, dim, min_size, max_size, shift, scale_f)
+    def _window_fn(self, rows, cols, min_size, max_size, shift, scale_f):
+        key = ("win", rows, cols, min_size, max_size, shift, scale_f)
         if key in self._fns:
             return self._fns[key]
         fc = self.face
-        plan, dev = fc._gather_plan(
-            rows, cols, dim, min_size, max_size, shift, scale_f
+        plan, _, dense_fn_full, d2g = fc._dense_plan(
+            rows, cols, min_size, max_size, shift, scale_f
         )
-        wp = plan.padded_windows
-        pad_to = -(-wp // self.n) * self.n
-        extra = pad_to - wp
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f)
+        _, _, tables_dev = fc._batch_fns[raw_key]
+        dense_scales = [sp for sp in plan.scales if not sp.fallback]
+        n, axis, cap = self.n, self.axis, self.cap
+        interpret = fc.interpret
+        forest = fc.forest
 
-        def padded(name):
-            arr = np.asarray(dev[name])
-            if extra:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], extra, 0)])
-            return jnp.asarray(arr)
+        # static per-scale band geometry: device d evaluates row tiles
+        # [d*nrt_local, (d+1)*nrt_local) of every dense scale
+        geo = []
+        woff = 0  # offset into the dense-window concat (d2g positions)
+        for sp in dense_scales:
+            geo.append((sp, _ceil_div(sp.n_row_tiles, n), woff))
+            woff += sp.nr_real * sp.nc_real
 
-        base = padded("base")
-        scale_idx = padded("scale_idx")
-        axis, n, cap = self.axis, self.n, self.cap
-
-        def shard_body(pix, base_l, sidx_l, off1, off2, preds, thresh, tl):
-            # Each chip classifies its window shard against the replicated
-            # frame, then compacts local hits to a fixed-capacity list.
-            q = face_dense.classify_windows(
-                pix, base_l, sidx_l, off1, off2, preds, thresh, tl,
-                depth=fc.forest.depth, num_leaves=fc.forest.num_leaves,
-                t_pad=fc.t_pad, block=fc.block,
-            )
-            hits = q > 0.0
-            shard = jax.lax.axis_index(axis)
-            local0 = shard * (pad_to // n)
-            idx = jnp.nonzero(hits, size=cap, fill_value=-1)[0]
-            gidx = jnp.where(idx >= 0, idx + local0, -1)
-            qv = q[idx]
+        def shard_body(img2d, tables, preds, thresh):
+            d = jax.lax.axis_index(axis)
+            img_f32 = img2d.astype(jnp.float32)
+            q_parts, idx_parts = [], []
+            for sp, nrt_local, off in geo:
+                qb = face_pallas.scale_scores(
+                    img_f32, sp, forest, tables[sp.scale], preds, thresh,
+                    interpret, tile_off=d * nrt_local, n_row_tiles=nrt_local,
+                )  # raw [nrt_local*16, nct*128] band block
+                h, w = qb.shape
+                lr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                lc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                gr = d * (nrt_local * face_pallas.TILE_R) + lr
+                m = sp.subsample
+                valid = (gr < sp.nr) & (lc < sp.nc)
+                if m > 1:
+                    valid &= (gr % m == 0) & (lc % m == 0)
+                widx = off + (gr // m) * sp.nc_real + (lc // m)
+                q_parts.append(qb.reshape(-1))
+                idx_parts.append(
+                    jnp.where(valid, widx, -1).reshape(-1).astype(jnp.int32)
+                )
+            q_all = jnp.concatenate(q_parts)
+            idx_all = jnp.concatenate(idx_parts)
+            hits = (q_all > jnp.float32(0.0)) & (idx_all >= 0)
             count = jnp.sum(hits.astype(jnp.int32))
-            # all-gather the per-chip hit lists over ICI for global clustering
+            pos = jnp.nonzero(hits, size=cap, fill_value=-1)[0]
+            gidx = jnp.where(pos >= 0, idx_all[jnp.clip(pos, 0)], -1)
+            qv = q_all[jnp.clip(pos, 0)]
+            # all-gather the per-chip hit lists over ICI; psum the exact
+            # count so the host can detect per-chip capacity overflow
             gidx_all = jax.lax.all_gather(gidx, axis)
             qv_all = jax.lax.all_gather(qv, axis)
             total = jax.lax.psum(count, axis)
-            return gidx_all, qv_all, total
+            overflow = jax.lax.psum((count > cap).astype(jnp.int32), axis)
+            return gidx_all, qv_all, total, overflow
 
         mapped = shard_map(
             shard_body, mesh=self.mesh,
-            in_specs=(P(), P(self.axis), P(self.axis), P(), P(), P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
 
         @jax.jit
-        def run(pix):
-            return mapped(
-                pix, base, scale_idx, dev["off1"], dev["off2"],
-                fc.preds_g, fc.thresh_g, fc.thresh_last,
-            )
+        def run(img2d):
+            return mapped(img2d, tables_dev, fc.preds_flat, fc.thresh_flat)
 
-        entry = (plan, run)
+        entry = (plan, run, dense_fn_full, d2g)
         self._fns[key] = entry
         return entry
 
@@ -117,29 +140,61 @@ class ShardedFaceCascade:
         self, pixels, rows, cols, *, min_size=20, max_size=1000,
         shift_factor=0.1, scale_factor=1.1,
     ) -> np.ndarray:
-        """Detections [N, 4] (row, col, scale, q) from a mesh-sharded pass."""
-        plan, run = self._window_fn(
-            rows, cols, cols, min_size, max_size, shift_factor, scale_factor
+        """Detections [N, 4] (row, col, scale, q), reference scan order,
+        from a mesh-sharded pass over the production Pallas kernels.
+        Bit-exact vs the single-chip `sparse_hits`."""
+        plan, run, dense_fn_full, d2g = self._window_fn(
+            rows, cols, min_size, max_size, shift_factor, scale_factor
         )
-        pix = jnp.asarray(pixels, jnp.uint8).reshape(-1)
-        gidx, qv, total = jax.device_get(run(pix))
-        gidx = gidx.reshape(-1)
-        qv = qv.reshape(-1)
-        valid = (gidx >= 0) & (gidx < plan.num_windows)
-        gidx = gidx[valid].astype(np.int64)
-        qv = qv[valid]
-        order = np.argsort(gidx, kind="stable")  # reference scan order
-        gidx, qv = gidx[order], qv[order]
-        n = plan.num_windows
-        return np.stack(
-            [
-                plan.rows_w[:n][gidx].astype(np.float64),
-                plan.cols_w[:n][gidx].astype(np.float64),
-                plan.scales[plan.scale_idx[:n][gidx]].astype(np.float64),
-                qv.astype(np.float64),
-            ],
-            axis=1,
-        )
+        if plan.num_windows == 0:
+            return np.zeros((0, 4), dtype=np.float64)
+        fc = self.face
+        img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        if d2g.size:
+            fut = run(img2d)
+        else:
+            fut = None
+        fb = None
+        if plan.has_fallback:
+            host_pix = (
+                pixels if isinstance(pixels, np.ndarray) else np.asarray(img2d)
+            )
+            fb = fc._fallback_hits(host_pix, plan, rows, cols, min_size,
+                                   max_size, shift_factor, scale_factor)
+        if fut is None:
+            dets = np.zeros((0, 4), np.float64)
+        else:
+            gidx, qv, total, overflow = jax.device_get(fut)
+            if int(overflow) > 0:
+                # a chip's hit list overflowed: exact dense re-read on host
+                # (single-chip kernels; same recovery as models/face.py)
+                q_dense = np.asarray(dense_fn_full(img2d))
+                sel = q_dense > 0.0
+                didx = np.nonzero(sel)[0]
+                qv = q_dense[sel]
+            else:
+                gidx = gidx.reshape(-1)
+                qv = qv.reshape(-1)
+                valid = gidx >= 0
+                didx = gidx[valid].astype(np.int64)
+                qv = qv[valid]
+                order = np.argsort(didx, kind="stable")  # scan order
+                didx, qv = didx[order], qv[order]
+            gl = d2g[didx]
+            dets = np.stack(
+                [
+                    plan.rows_w[gl].astype(np.float64),
+                    plan.cols_w[gl].astype(np.float64),
+                    plan.scale_w[gl].astype(np.float64),
+                    qv.astype(np.float64),
+                ],
+                axis=1,
+            )
+        if fb is not None and fb.shape[0]:
+            dets = np.concatenate([dets, fb])
+            order = np.argsort(dets[:, 2], kind="stable")
+            dets = dets[order]
+        return dets
 
     def detect(self, pixels, rows, cols, *, iou_threshold=0.2, **kw):
         dets = self.window_sharded_hits(pixels, rows, cols, **kw)
@@ -152,48 +207,79 @@ class ShardedFaceCascade:
         if key in self._fns:
             return self._fns[key]
         fc = self.face
-        plan, dev = fc._gather_plan(
-            rows, cols, cols, min_size, max_size, shift, scale_f
+        plan, _, dense_fn_full, d2g = fc._dense_plan(
+            rows, cols, min_size, max_size, shift, scale_f
         )
-
-        def one_frame(pix):
-            return face_dense.classify_windows(
-                pix, dev["base"], dev["scale_idx"], dev["off1"], dev["off2"],
-                fc.preds_g, fc.thresh_g, fc.thresh_last,
-                depth=fc.forest.depth, num_leaves=fc.forest.num_leaves,
-                t_pad=fc.t_pad, block=fc.block,
-            )
-
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f)
+        dense_sparse, _, tables_dev = fc._batch_fns[raw_key]
         axis = self.axis
 
-        def shard_body(pix_local):  # [B/n, rows*cols]
-            q = jax.vmap(one_frame)(pix_local)
-            total = jax.lax.psum(jnp.sum((q > 0).astype(jnp.int32)), axis)
-            return q, total
+        def shard_body(frames_local, tables, preds, thresh):
+            packed = jax.vmap(
+                lambda f: dense_sparse(f, tables, preds, thresh)
+            )(frames_local)
+            total = jax.lax.psum(
+                jnp.sum(packed[:, 0].astype(jnp.int32)), axis
+            )
+            return packed, total
 
         mapped = shard_map(
             shard_body, mesh=self.mesh,
-            in_specs=(P(self.axis),), out_specs=(P(self.axis), P()),
+            in_specs=(P(self.axis), P(), P(), P()),
+            out_specs=(P(self.axis), P()),
             check_vma=False,
         )
-        entry = (plan, jax.jit(mapped))
+
+        @jax.jit
+        def run(frames):
+            return mapped(frames, tables_dev, fc.preds_flat, fc.thresh_flat)
+
+        entry = (plan, run, dense_fn_full, d2g)
         self._fns[key] = entry
         return entry
 
-    def batch_scores(
+    def batch_hits(
         self, frames, rows, cols, *, min_size=20, max_size=1000,
         shift_factor=0.1, scale_factor=1.1,
-    ):
-        """Scores [B, Wp] for a frame batch sharded over the mesh.
-
-        B must be a multiple of the mesh size."""
-        frames = jnp.asarray(frames, jnp.uint8).reshape(-1, rows * cols)
-        if frames.shape[0] % self.n:
+    ) -> tuple[list[np.ndarray], int]:
+        """Frame-DP serving pass: B frames sharded over the mesh, each chip
+        running the full per-frame Pallas pyramid + on-device hit
+        compaction. Returns (per-frame [Ni, 4] hit lists identical to
+        `sparse_hits`, psum'd raw dense-hit count). B must be a multiple of
+        the mesh size."""
+        fc = self.face
+        frames = jnp.asarray(frames, jnp.uint8).reshape(-1, rows, cols)
+        b = frames.shape[0]
+        if b % self.n:
             raise ValueError(
-                f"batch {frames.shape[0]} not divisible by mesh size {self.n}"
+                f"batch {b} not divisible by mesh size {self.n}"
             )
-        plan, run = self._batch_fn(
+        plan, run, dense_fn_full, d2g = self._batch_fn(
             rows, cols, min_size, max_size, shift_factor, scale_factor
         )
-        q, total = run(frames)
-        return plan, q, total
+        if plan.num_windows == 0:
+            return [np.zeros((0, 4), np.float64) for _ in range(b)], 0
+        cap = fc.HIT_CAPACITY
+        if d2g.size:
+            packed_all, total = jax.device_get(run(frames))
+        else:
+            packed_all = np.zeros((b, 1 + 2 * cap), np.float32)
+            packed_all[:, 1 : 1 + cap] = -1.0
+            total = 0
+        fbs = None
+        if plan.has_fallback:
+            host_frames = np.asarray(frames)
+            fbs = [
+                fc._fallback_hits(host_frames[i], plan, rows, cols,
+                                  min_size, max_size, shift_factor,
+                                  scale_factor)
+                for i in range(b)
+            ]
+        dets = [
+            fc._decode_hits(
+                packed_all[i], fbs[i] if fbs is not None else None, plan,
+                d2g, dense_fn_full, frames[i],
+            )
+            for i in range(b)
+        ]
+        return dets, int(total)

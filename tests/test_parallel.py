@@ -1,7 +1,10 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh.
 
-Window-axis sharding + all_gather must reproduce the single-chip detections
-exactly; frame data parallelism must scale counts linearly."""
+The sharded paths run the PRODUCTION Pallas kernels (the same code as
+FaceCascade.sparse_hits) under shard_map: window-band sharding +
+all_gather must be bit-exact vs the single-chip fast path at min_size 20,
+frame data parallelism must reproduce per-frame results, and a per-chip
+hit-list overflow must recover through the dense re-read."""
 
 import numpy as np
 import pytest
@@ -12,28 +15,75 @@ requires_mesh = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
 )
 
-CFG = dict(min_size=100, max_size=400, shift_factor=0.3, scale_factor=1.4)
+# min_size 20 with dense Pallas scales on a small multi-face frame. Full
+# pyramids in interpret mode are too slow for CI, so the tail cutoff is
+# lowered for this module: scales 20/26 (~1.2k windows each) stay on the
+# dense Pallas path, larger scales route through the host tail engine.
+CFG = dict(min_size=20, max_size=100, shift_factor=0.1, scale_factor=1.3)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_tail_cutoff():
+    from pigo_tpu.ops import face_pallas
+
+    prev = face_pallas.TAIL_MIN_WINDOWS
+    face_pallas.TAIL_MIN_WINDOWS = 512
+    yield
+    face_pallas.TAIL_MIN_WINDOWS = prev
 
 
 @pytest.fixture(scope="module")
-def sharded(face_forest):
+def tiny_faces_frame(sample_gray):
+    from PIL import Image
+
+    tiny = np.asarray(Image.fromarray(sample_gray).resize((18, 22)), np.uint8)
+    frame = np.full((96, 88), 200, np.uint8)
+    for r0, c0 in ((12, 14), (58, 52)):
+        frame[r0:r0 + 22, c0:c0 + 18] = tiny
+    return frame
+
+
+@pytest.fixture(scope="module")
+def fc(face_forest):
+    from pigo_tpu.cascade.assets import asset_path
     from pigo_tpu.models.face import FaceCascade
+
+    with open(asset_path("cascade", "facefinder"), "rb") as fh:
+        raw = fh.read()
+    return FaceCascade.from_bytes(raw)
+
+
+@pytest.fixture(scope="module")
+def sharded(fc):
     from pigo_tpu.parallel import ShardedFaceCascade, make_mesh
 
-    mesh = make_mesh(8, "window")
-    return ShardedFaceCascade(
-        mesh, FaceCascade(face_forest, backend="reference")
-    )
+    return ShardedFaceCascade(make_mesh(8, "window"), fc)
 
 
 @requires_mesh
-def test_window_sharded_matches_oracle(sharded, sample_gray, face_forest):
+def test_window_sharded_matches_single_chip(sharded, fc, tiny_faces_frame):
+    """Window-band sharding over the Pallas kernels is bit-exact vs
+    sparse_hits (which is oracle-exact) at min_size 20."""
+    rows, cols = tiny_faces_frame.shape
+    want = fc.sparse_hits(tiny_faces_frame, rows, cols, **CFG)
+    assert want.shape[0] >= 2, "frame should contain several faces"
+    dense_scales = [
+        sp for sp in fc._dense_plan(rows, cols, *CFG.values())[0].scales
+        if not sp.fallback
+    ]
+    assert dense_scales, "config must exercise the dense Pallas path"
+    dets = sharded.window_sharded_hits(tiny_faces_frame, rows, cols, **CFG)
+    assert np.array_equal(dets, want)
+
+
+@requires_mesh
+def test_window_sharded_matches_oracle(sharded, face_forest, tiny_faces_frame):
     from pigo_tpu.oracle.face import oracle_run_cascade
 
-    rows, cols = sample_gray.shape
-    dets = sharded.window_sharded_hits(sample_gray, rows, cols, **CFG)
+    rows, cols = tiny_faces_frame.shape
+    dets = sharded.window_sharded_hits(tiny_faces_frame, rows, cols, **CFG)
     oracle = oracle_run_cascade(
-        face_forest, sample_gray.ravel(), rows, cols, cols,
+        face_forest, tiny_faces_frame.ravel(), rows, cols, cols,
         CFG["min_size"], CFG["max_size"], CFG["shift_factor"],
         CFG["scale_factor"],
     )
@@ -45,25 +95,44 @@ def test_window_sharded_matches_oracle(sharded, sample_gray, face_forest):
 
 
 @requires_mesh
-def test_window_sharded_cluster(sharded, sample_gray):
-    rows, cols = sample_gray.shape
-    clusters = sharded.detect(sample_gray, rows, cols, **CFG)
-    assert clusters.shape[0] >= 1
+def test_window_sharded_overflow_reread(fc, tiny_faces_frame):
+    """A per-chip hit-list overflow (capacity 1) is detected via the psum'd
+    count and recovered exactly through the dense re-read."""
+    from pigo_tpu.parallel import ShardedFaceCascade, make_mesh
+
+    rows, cols = tiny_faces_frame.shape
+    tiny_cap = ShardedFaceCascade(make_mesh(8, "window"), fc, hit_capacity=1)
+    want = fc.sparse_hits(tiny_faces_frame, rows, cols, **CFG)
+    dets = tiny_cap.window_sharded_hits(tiny_faces_frame, rows, cols, **CFG)
+    assert np.array_equal(dets, want)
 
 
 @requires_mesh
-def test_batch_dp_counts(sharded, sample_gray):
-    rows, cols = sample_gray.shape
-    single = sharded.window_sharded_hits(sample_gray, rows, cols, **CFG)
-    frames = np.broadcast_to(sample_gray.ravel(), (8, rows * cols))
-    plan, q, total = sharded.batch_scores(frames, rows, cols, **CFG)
-    assert int(total) == 8 * single.shape[0]
-    assert q.shape[0] == 8
+def test_window_sharded_cluster(sharded, tiny_faces_frame):
+    rows, cols = tiny_faces_frame.shape
+    clusters = sharded.detect(tiny_faces_frame, rows, cols, **CFG)
+    assert clusters.shape[0] >= 2
 
 
 @requires_mesh
-def test_batch_not_divisible_raises(sharded, sample_gray):
-    rows, cols = sample_gray.shape
-    frames = np.broadcast_to(sample_gray.ravel(), (3, rows * cols))
+def test_batch_dp_matches_single_chip(sharded, fc, tiny_faces_frame):
+    """Frame-DP: every frame's sharded result equals sparse_hits, and the
+    psum'd dense count scales with the batch."""
+    rows, cols = tiny_faces_frame.shape
+    frames = np.stack(
+        [np.roll(tiny_faces_frame, i, axis=1) for i in range(8)]
+    )
+    dets, total = sharded.batch_hits(frames, rows, cols, **CFG)
+    assert len(dets) == 8
+    for frame, got in zip(frames, dets):
+        want = fc.sparse_hits(frame, rows, cols, **CFG)
+        assert np.array_equal(got, want)
+    assert total >= 8  # psum'd raw dense-hit count across the batch
+
+
+@requires_mesh
+def test_batch_not_divisible_raises(sharded, tiny_faces_frame):
+    rows, cols = tiny_faces_frame.shape
+    frames = np.broadcast_to(tiny_faces_frame, (3, rows, cols))
     with pytest.raises(ValueError, match="not divisible"):
-        sharded.batch_scores(frames, rows, cols, **CFG)
+        sharded.batch_hits(frames, rows, cols, **CFG)
