@@ -616,6 +616,46 @@ int64_t pigo_face_run_scales(void* h, const uint8_t* pixels, int rows,
   return n;
 }
 
+// Border-band scan for the rotated dense plan: for each band row
+// (scale, r_lo, r_hi, c_lo, c_hi), scan the scale's full reference grid
+// EXCLUDING the inclusive interior rectangle [r_lo..r_hi]x[c_lo..c_hi] of
+// window centers (those windows never hit the rotated clamps and run on
+// the device). Same loop bounds as pigo_face_run (core/pigo.go:226-250).
+int64_t pigo_face_run_band(void* h, const uint8_t* pixels, int rows,
+                           int cols, int dim, const int32_t* bands,
+                           int64_t n_bands, double shift, double angle,
+                           double* out, int64_t cap) {
+  const auto& f = *static_cast<FaceForest*>(h);
+  if (angle > 1.0) angle = 1.0;
+  std::vector<Detection> dets;
+  for (int64_t bi = 0; bi < n_bands; ++bi) {
+    const int32_t* b = bands + 5 * bi;
+    int scale = b[0], r_lo = b[1], r_hi = b[2], c_lo = b[3], c_hi = b[4];
+    int step = std::max(int(shift * scale), 1);
+    int offset = (scale >> 1) + 1;
+    for (int r = offset; r <= rows - offset; r += step) {
+      bool r_in = r >= r_lo && r <= r_hi;
+      for (int c = offset; c <= cols - offset; c += step) {
+        if (r_in && c >= c_lo && c <= c_hi) continue;  // device's interior
+        float q = (angle > 0.0)
+                      ? classify_rotated_region(f, r, c, scale, angle, rows,
+                                                pixels, dim)
+                      : classify_region(f, r, c, scale, pixels, dim);
+        if (q > 0.f) dets.push_back({r, c, scale, q});
+      }
+    }
+  }
+  int64_t n = int64_t(dets.size());
+  int64_t m = std::min(n, cap);
+  for (int64_t i = 0; i < m; ++i) {
+    out[4 * i + 0] = dets[i].row;
+    out[4 * i + 1] = dets[i].col;
+    out[4 * i + 2] = dets[i].scale;
+    out[4 * i + 3] = dets[i].q;
+  }
+  return n;
+}
+
 // IoU clustering over (row, col, scale, q) rows. Returns cluster count,
 // writing up to cap clusters into out.
 int64_t pigo_cluster(const double* dets, int64_t n, double iou_threshold,

@@ -529,8 +529,10 @@ class FaceDetector:
         rows, cols = frame.shape[-2], frame.shape[-1]
         cfg = (params.min_size, params.max_size, params.shift_factor,
                params.scale_factor)
-        plan, dense_fn, dense_fn_full, d2g = fc._dense_plan(rows, cols, *cfg)
-        arrays = fc.device_plan_arrays(rows, cols, *cfg)
+        angle_idx0 = int(32.0 * min(angle, 1.0)) if angle > 0.0 else 0
+        plan, dense_fn, dense_fn_full, d2g = fc._dense_plan(
+            rows, cols, *cfg, angle_idx0)
+        arrays = fc.device_plan_arrays(rows, cols, *cfg, angle_idx0)
         img2d = jnp.asarray(frame, jnp.uint8).reshape(rows, cols)
         cap = fc.HIT_CAPACITY
         if d2g.size:
@@ -543,7 +545,8 @@ class FaceDetector:
         tail_n = 0
         if plan.has_fallback:
             host_pix = frame if isinstance(frame, np.ndarray) else np.asarray(img2d)
-            fb = fc._fallback_hits(host_pix, plan, rows, cols, *cfg)
+            fb = fc._fallback_hits(host_pix, plan, rows, cols, *cfg,
+                                   angle=angle)
             tail_n = fb.shape[0]
             tail_np[: min(tail_n, DEV_TAIL_CAP)] = fb[:DEV_TAIL_CAP]
         pg = self.pupil.forest

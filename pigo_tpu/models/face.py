@@ -139,13 +139,15 @@ class FaceCascade:
     # tens of raw hits; an overflow (count > cap) triggers a dense re-read.
     HIT_CAPACITY = 4096
 
-    def _dense_plan(self, rows, cols, min_size, max_size, shift, scale_f):
-        key = (rows, cols, min_size, max_size, shift, scale_f)
+    def _dense_plan(self, rows, cols, min_size, max_size, shift, scale_f,
+                    angle_idx=0):
+        key = (rows, cols, min_size, max_size, shift, scale_f, angle_idx)
         hit = self._dense_plans.get(key)
         if hit is not None:
             return hit
         plan = face_pallas.build_dense_plan(
-            self.forest, rows, cols, min_size, max_size, shift, scale_f
+            self.forest, rows, cols, min_size, max_size, shift, scale_f,
+            angle_idx,
         )
         # Tables/preds are passed as runtime ARGUMENTS (device-resident
         # handles), not closure constants: some runtimes re-ship executable
@@ -202,14 +204,19 @@ class FaceCascade:
         # path (parallel/sharded.py) to re-stage under shard_map
         self._batch_fns[("raw",) + key] = (dense_sparse, scores, tables_dev)
 
-        # dense window index -> global plan window index (fallback interleave)
+        # dense window index -> global plan window index (the dense kernel
+        # covers each scale's interior rectangle; for upright plans that is
+        # the whole grid, for rotated plans the border band is excluded)
         maps = []
         off = 0
         for sp in plan.scales:
-            n = sp.nr_real * sp.nc_real
             if not sp.fallback:
-                maps.append(np.arange(off, off + n, dtype=np.int64))
-            off += n
+                ii = (sp.i_lo + np.arange(sp.nr_real, dtype=np.int64))
+                jj = sp.j_lo + np.arange(sp.nc_real, dtype=np.int64)
+                maps.append(
+                    (off + ii[:, None] * sp.nc_full + jj[None, :]).ravel()
+                )
+            off += sp.nr_full * sp.nc_full
         dense_to_global = (
             np.concatenate(maps) if maps else np.zeros(0, np.int64)
         )
@@ -241,48 +248,106 @@ class FaceCascade:
         return self._native
 
     def _fallback_hits(self, img2d, plan, rows, cols, min_size, max_size,
-                       shift_factor, scale_factor) -> np.ndarray:
-        """Hits for the plan's fallback scales: host C++ engine when
-        available (overlaps the in-flight device computation), otherwise the
-        exact gather kernel. Returns [N, 4] float64 rows."""
+                       shift_factor, scale_factor, angle=0.0) -> np.ndarray:
+        """Hits for the plan's host-side windows — whole fallback scales
+        plus, for rotated plans, the border bands of dense scales (where
+        the rotation clamps make node reads window-dependent). Host C++
+        engine when available (overlaps the in-flight device computation),
+        otherwise the exact gather kernel / vectorized NumPy oracle.
+        Returns [N, 4] float64 rows."""
         fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
+        bands = plan.border_bands
         nat = self._native_tail()
+        parts = []
         if nat is not None:
-            return nat.run_scales(
-                np.asarray(img2d, np.uint8).ravel(), rows, cols,
-                np.asarray(fb_scales, np.int32), shift_factor=shift_factor,
-            )
+            pix = np.asarray(img2d, np.uint8).ravel()
+            if fb_scales:
+                parts.append(nat.run_scales(
+                    pix, rows, cols, np.asarray(fb_scales, np.int32),
+                    shift_factor=shift_factor, angle=angle,
+                ))
+            if bands.size:
+                parts.append(nat.run_band(
+                    pix, rows, cols, bands, shift_factor=shift_factor,
+                    angle=angle,
+                ))
+            return (np.concatenate(parts) if parts
+                    else np.zeros((0, 4), np.float64))
         # cast like every other path: non-uint8 host input must not reach
         # the gather kernel raw (its compares would see untruncated values)
-        fb_plan, fb_q = self._gather_scores(
-            jnp.asarray(img2d, jnp.uint8).reshape(-1), rows, cols, cols,
-            min_size, max_size, shift_factor, scale_factor, 0.0, fb_scales,
-        )
-        fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
-        hit = fb_q > 0.0
-        n = fb_plan.num_windows
-        return np.stack(
-            [
-                fb_plan.rows_w[:n][hit].astype(np.float64),
-                fb_plan.cols_w[:n][hit].astype(np.float64),
-                fb_plan.scales[fb_plan.scale_idx[:n][hit]].astype(np.float64),
-                fb_q[hit].astype(np.float64),
-            ],
-            axis=1,
-        )
+        if fb_scales:
+            fb_plan, fb_q = self._gather_scores(
+                jnp.asarray(img2d, jnp.uint8).reshape(-1), rows, cols, cols,
+                min_size, max_size, shift_factor, scale_factor, angle,
+                fb_scales,
+            )
+            fb_q = np.asarray(fb_q)[: fb_plan.num_windows]
+            hit = fb_q > 0.0
+            n = fb_plan.num_windows
+            parts.append(np.stack(
+                [
+                    fb_plan.rows_w[:n][hit].astype(np.float64),
+                    fb_plan.cols_w[:n][hit].astype(np.float64),
+                    fb_plan.scales[fb_plan.scale_idx[:n][hit]].astype(
+                        np.float64),
+                    fb_q[hit].astype(np.float64),
+                ],
+                axis=1,
+            ))
+        if bands.size:
+            parts.append(self._border_hits_oracle(
+                np.asarray(img2d, np.uint8).ravel(), bands, rows, cols,
+                shift_factor, angle,
+            ))
+        return (np.concatenate(parts) if parts
+                else np.zeros((0, 4), np.float64))
+
+    def _border_hits_oracle(self, pix, bands, rows, cols, shift_factor,
+                            angle) -> np.ndarray:
+        """Rotated border-band scan without the native engine: the
+        vectorized NumPy oracle classifies the band windows (few percent of
+        a scale's grid) exactly (reference core/pigo.go:150-191)."""
+        from pigo_tpu.oracle.face import oracle_classify_rotated_region
+
+        out = []
+        for scale, r_lo, r_hi, c_lo, c_hi in np.asarray(bands, np.int64):
+            k = int(max(shift_factor * scale, 1.0))
+            offset = int(scale) // 2 + 1
+            rr = np.arange(offset, rows - offset + 1, k, dtype=np.int64)
+            cc = np.arange(offset, cols - offset + 1, k, dtype=np.int64)
+            inside = (
+                ((rr >= r_lo) & (rr <= r_hi))[:, None]
+                & ((cc >= c_lo) & (cc <= c_hi))[None, :]
+            )
+            rw = np.repeat(rr, cc.size)[~inside.ravel()]
+            cw = np.tile(cc, rr.size)[~inside.ravel()]
+            if rw.size == 0:
+                continue
+            q = oracle_classify_rotated_region(
+                self.forest, rw, cw, int(scale), angle, rows, cols, pix, cols
+            )
+            hit = q > 0.0
+            out.append(np.stack(
+                [rw[hit].astype(np.float64), cw[hit].astype(np.float64),
+                 np.full(hit.sum(), scale, np.float64),
+                 q[hit].astype(np.float64)], axis=1,
+            ))
+        return (np.concatenate(out) if out
+                else np.zeros((0, 4), np.float64))
 
     def device_plan_arrays(self, rows, cols, min_size, max_size,
-                           shift_factor, scale_factor):
+                           shift_factor, scale_factor, angle_idx=0):
         """Device-resident (row, col, scale) tables for every plan window +
         the dense->global index map — lets downstream XLA programs decode the
         packed hit list without a host round trip."""
         key = ("dev", rows, cols, min_size, max_size, shift_factor,
-               scale_factor)
+               scale_factor, angle_idx)
         hit = self._batch_fns.get(key)
         if hit is not None:
             return hit
         plan, _, _, d2g = self._dense_plan(
-            rows, cols, min_size, max_size, shift_factor, scale_factor
+            rows, cols, min_size, max_size, shift_factor, scale_factor,
+            angle_idx,
         )
         arrays = {
             "rows_w": jnp.asarray(plan.rows_w, jnp.int32),
@@ -360,24 +425,30 @@ class FaceCascade:
         max_size: int = 1000,
         shift_factor: float = 0.1,
         scale_factor: float = 1.1,
+        angle: float = 0.0,
     ) -> np.ndarray:
         """Fast path: dense kernels + on-device hit compaction.
 
         Returns [N, 4] (row, col, scale, q) with q > 0, reference scan order.
         Only ships the sparse hit list over the host link (the full dense
-        score vector stays on device)."""
+        score vector stays on device). For angle > 0 the dense kernels run
+        the rotated cascade on each scale's interior window rectangle and
+        the host scans the clamp-affected border bands."""
         return self._collect_single(
             self._dispatch_single(pixels, rows, cols, min_size, max_size,
-                                  shift_factor, scale_factor)
+                                  shift_factor, scale_factor, angle)
         )
 
     def _dispatch_single(self, pixels, rows, cols, min_size, max_size,
-                         shift_factor, scale_factor):
+                         shift_factor, scale_factor, angle=0.0):
         """Async half of sparse_hits: H2D + kernel dispatch + D2H enqueue are
         all non-blocking; the host tail engine runs while the device works.
         Returns an opaque ticket for _collect_single."""
+        angle = min(angle, 1.0)
+        angle_idx = int(32.0 * angle) if angle > 0.0 else 0
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
-            rows, cols, min_size, max_size, shift_factor, scale_factor
+            rows, cols, min_size, max_size, shift_factor, scale_factor,
+            angle_idx,
         )
         if plan.num_windows == 0:  # image smaller than the minimum face size
             return (None, None, plan, d2g, dense_fn_full, None)
@@ -399,7 +470,8 @@ class FaceCascade:
                 else np.asarray(img2d)
             )
             fb = self._fallback_hits(host_pix, plan, rows, cols, min_size,
-                                     max_size, shift_factor, scale_factor)
+                                     max_size, shift_factor, scale_factor,
+                                     angle)
         return (fut, fb, plan, d2g, dense_fn_full, img2d)
 
     def _collect_single(self, ticket, packed=None) -> np.ndarray:
@@ -452,25 +524,31 @@ class FaceCascade:
             axis=1,
         )
         if fb is not None and fb.shape[0]:
-            # Merge keeping reference scan order (scale-major): both lists
-            # are already scale-major; a stable sort on scale restores the
-            # global order since within-scale order is preserved.
+            # Merge keeping reference scan order (scale-major, then row,
+            # then col): window coords are unique per scale, so a lexsort
+            # restores the global order even when host border-band hits
+            # interleave with the device's interior hits within one scale
+            # (rotated plans).
             dets = np.concatenate([dets, fb])
-            order = np.argsort(dets[:, 2], kind="stable")
+            order = np.lexsort((dets[:, 1], dets[:, 0], dets[:, 2]))
             dets = dets[order]
         return dets
 
     def _dispatch_batch(self, frames, min_size, max_size, shift_factor,
-                        scale_factor):
+                        scale_factor, angle=0.0):
         """Async half of the batched fast path: dispatch the vmapped dense
         kernels (non-blocking) and run the host tail engine. Returns an
         opaque ticket for _collect_batch."""
+        angle = min(angle, 1.0)
+        angle_idx = int(32.0 * angle) if angle > 0.0 else 0
         frames_in = frames
         frames = jnp.asarray(frames, jnp.uint8)
         b, rows, cols = frames.shape
-        key = (rows, cols, min_size, max_size, shift_factor, scale_factor)
+        key = (rows, cols, min_size, max_size, shift_factor, scale_factor,
+               angle_idx)
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
-            rows, cols, min_size, max_size, shift_factor, scale_factor
+            rows, cols, min_size, max_size, shift_factor, scale_factor,
+            angle_idx,
         )
         if plan.num_windows == 0:
             return (None, None, None, b, plan, d2g, dense_fn_full, frames)
@@ -491,7 +569,7 @@ class FaceCascade:
             fbs = [
                 self._fallback_hits(host_frames[i], plan, rows, cols,
                                     min_size, max_size, shift_factor,
-                                    scale_factor)
+                                    scale_factor, angle)
                 for i in range(b)
             ]
         return (fut, fbs, None, b, plan, d2g, dense_fn_full, frames)
@@ -524,6 +602,7 @@ class FaceCascade:
         max_size: int = 1000,
         shift_factor: float = 0.1,
         scale_factor: float = 1.1,
+        angle: float = 0.0,
     ) -> list[np.ndarray]:
         """Batched fast path: one device dispatch + one host fetch for B
         frames (vmapped dense kernels + hit compaction). The per-call host
@@ -532,7 +611,7 @@ class FaceCascade:
         (row, col, scale, q) lists, reference scan order."""
         return self._collect_batch(
             self._dispatch_batch(frames, min_size, max_size, shift_factor,
-                                 scale_factor)
+                                 scale_factor, angle)
         )
 
     def stream_hits(
@@ -543,6 +622,7 @@ class FaceCascade:
         max_size: int = 1000,
         shift_factor: float = 0.1,
         scale_factor: float = 1.1,
+        angle: float = 0.0,
         depth: int = 8,
     ):
         """Streaming pipeline: keeps up to `depth` frames in flight so H2D
@@ -555,7 +635,8 @@ class FaceCascade:
         import collections
 
         kw = dict(min_size=min_size, max_size=max_size,
-                  shift_factor=shift_factor, scale_factor=scale_factor)
+                  shift_factor=shift_factor, scale_factor=scale_factor,
+                  angle=angle)
         inflight: collections.deque = collections.deque()
         for frame in frames:
             rows, cols = frame.shape[-2], frame.shape[-1]
@@ -583,25 +664,17 @@ class FaceCascade:
         """Multi-scale detection pass. Returns [N, 4] (row, col, scale, q>0)
         in the reference's scan order (scale-major, then row, then col)."""
         dim = cols if dim is None else dim
-        if self.backend == "pallas" and angle <= 0.0 and dim == cols:
+        if self.backend == "pallas" and dim == cols:
+            # Upright AND rotated pyramids run on the device: the rotated
+            # cascade's node reads are window-independent away from the
+            # clamp-affected borders (see ops/face_pallas.build_dense_plan),
+            # so the same dense kernels cover each scale's interior and the
+            # host scans only the border bands + sparse tail scales.
             return self.sparse_hits(
                 pixels, rows, cols, min_size=min_size, max_size=max_size,
                 shift_factor=shift_factor, scale_factor=scale_factor,
+                angle=angle,
             )
-        if angle > 0.0 and dim == cols:
-            # Rotated full pyramid: the quantized-rotation clamps make the
-            # node reads window-dependent near edges, which defeats the
-            # dense plane layout; the gather kernel has no early exit and is
-            # ~1000x slower than the host engine here. Route to the native
-            # engine (bit-exact, oracle-verified) when available.
-            nat = self._native_tail()
-            if nat is not None:
-                return nat.run_cascade(
-                    np.asarray(pixels, np.uint8), rows, cols, dim,
-                    min_size=min_size, max_size=max_size,
-                    shift_factor=shift_factor, scale_factor=scale_factor,
-                    angle=angle,
-                )
         coords, q = self.window_scores(
             pixels, rows, cols, dim, min_size, max_size,
             shift_factor, scale_factor, angle,
@@ -628,28 +701,33 @@ class FaceCascade:
     ) -> np.ndarray:
         """In-plane rotated detection sweep (BASELINE config #2): the full
         pyramid at every angle, concatenated as [N, 5] rows
-        (row, col, scale, q, angle). The upright pass runs on the device
-        (dispatched first, asynchronously); rotated passes run on the host
-        engine underneath it. Cluster the result with a small IoU threshold
-        to merge the same face found at neighboring angles."""
+        (row, col, scale, q, angle). Every angle's dense kernels run on the
+        device; each dispatch is asynchronous, so the host border/tail
+        scans of angle i overlap the device work of angle i (and the
+        in-flight transfers of earlier angles). Cluster the result with a
+        small IoU threshold to merge the same face found at neighboring
+        angles."""
         kw = dict(min_size=min_size, max_size=max_size,
                   shift_factor=shift_factor, scale_factor=scale_factor)
         angles = list(angles)
-        upright_ticket = None
-        if any(a <= 0.0 for a in angles):
-            upright_ticket = self._dispatch_single(
-                pixels, rows, cols, **kw)  # async; host work overlaps
-        parts = []
-        for a in angles:
-            if a <= 0.0:
-                continue
-            dets = self.run_cascade(pixels, rows, cols, angle=a, **kw)
-            parts.append(np.concatenate(
-                [dets, np.full((dets.shape[0], 1), a)], axis=1))
-        if upright_ticket is not None:
-            dets = self._collect_single(upright_ticket)
-            parts.insert(0, np.concatenate(
-                [dets, np.zeros((dets.shape[0], 1))], axis=1))
+        if self.backend == "pallas":
+            tickets = [
+                self._dispatch_single(pixels, rows, cols, angle=max(a, 0.0),
+                                      **kw)
+                for a in angles
+            ]
+            parts = []
+            for a, ticket in zip(angles, tickets):
+                dets = self._collect_single(ticket)
+                parts.append(np.concatenate(
+                    [dets, np.full((dets.shape[0], 1), max(a, 0.0))], axis=1))
+        else:
+            parts = []
+            for a in angles:
+                dets = self.run_cascade(pixels, rows, cols,
+                                        angle=max(a, 0.0), **kw)
+                parts.append(np.concatenate(
+                    [dets, np.full((dets.shape[0], 1), max(a, 0.0))], axis=1))
         if not parts:
             return np.zeros((0, 5), dtype=np.float64)
         return np.concatenate(parts)

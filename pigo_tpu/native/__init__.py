@@ -90,6 +90,12 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
         ctypes.c_double, f64p, ctypes.c_int64,
     ]
+    lib.pigo_face_run_band.restype = ctypes.c_int64
+    lib.pigo_face_run_band.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, f64p, ctypes.c_int64,
+    ]
     lib.pigo_cluster.restype = ctypes.c_int64
     lib.pigo_cluster.argtypes = [f64p, ctypes.c_int64, ctypes.c_double, f64p,
                                  ctypes.c_int64]
@@ -225,6 +231,28 @@ class NativeFaceCascade:
                 self._h, _u8ptr(pix), rows, cols, dim,
                 sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sc.size,
                 shift_factor, angle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
+            if n <= cap:
+                return out[:n].copy()
+            cap = int(n)
+
+    def run_band(self, pixels: np.ndarray, rows: int, cols: int,
+                 bands: np.ndarray, *, dim: int | None = None,
+                 shift_factor: float = 0.1,
+                 angle: float = 0.0) -> np.ndarray:
+        """Scan border bands: int32 [B, 5] rows (scale, r_lo, r_hi, c_lo,
+        c_hi) — each scale's full grid excluding the inclusive interior
+        window rectangle. -> [N, 4] (row, col, scale, q)."""
+        dim = cols if dim is None else dim
+        pix = np.ascontiguousarray(pixels, dtype=np.uint8).ravel()
+        bd = np.ascontiguousarray(bands, dtype=np.int32).reshape(-1, 5)
+        cap = 4096
+        while True:
+            out = np.empty((cap, 4), dtype=np.float64)
+            n = self._lib.pigo_face_run_band(
+                self._h, _u8ptr(pix), rows, cols, dim,
+                bd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                bd.shape[0], shift_factor, angle,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
             if n <= cap:
                 return out[:n].copy()

@@ -69,7 +69,7 @@ class ShardedFaceCascade:
         plan, _, dense_fn_full, d2g = fc._dense_plan(
             rows, cols, min_size, max_size, shift, scale_f
         )
-        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f)
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f, 0)
         _, _, tables_dev = fc._batch_fns[raw_key]
         dense_scales = [sp for sp in plan.scales if not sp.fallback]
         n, axis, cap = self.n, self.axis, self.cap
@@ -210,7 +210,7 @@ class ShardedFaceCascade:
         plan, _, dense_fn_full, d2g = fc._dense_plan(
             rows, cols, min_size, max_size, shift, scale_f
         )
-        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f)
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f, 0)
         dense_sparse, _, tables_dev = fc._batch_fns[raw_key]
         axis = self.axis
 

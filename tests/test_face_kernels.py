@@ -260,3 +260,76 @@ def test_hit_capacity_overflow_reread(sample_gray, face_forest, monkeypatch):
     fc_tiny = FaceCascade(face_forest, backend="pallas")
     got = fc_tiny.run_cascade(frame, rows, cols, **cfg)
     assert np.array_equal(got, want)
+
+
+def test_pallas_rotated_exact(face_forest, sample_gray, monkeypatch):
+    """TPU-resident rotated cascade: the dense phase-decimated kernel runs
+    each scale's interior window rectangle with rotated node tables
+    (window-independent offsets — (r*65536 + off) >> 16 == r + (off >> 16)),
+    the host scans the clamp-affected border bands, and the merged result
+    is bit-exact vs the rotated oracle. Covers angles with and without
+    border bands, through both the native band scan and the NO_NATIVE
+    oracle fallback."""
+    from pigo_tpu.ops import face_pallas as fp
+
+    monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
+    frame = sample_gray[::2, ::2].copy()
+    rows, cols = frame.shape
+    cfg = dict(min_size=20, max_size=200, shift_factor=0.1, scale_factor=1.3)
+    for no_native in (False, True):
+        if no_native:
+            monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
+        fc = FaceCascade(backend="pallas")
+        for angle in (0.25, 0.97):  # 0.97: border bands on every dense scale
+            aidx = int(32 * angle)
+            plan, *_ = fc._dense_plan(rows, cols, cfg["min_size"],
+                                      cfg["max_size"], cfg["shift_factor"],
+                                      cfg["scale_factor"], aidx)
+            assert any(not sp.fallback for sp in plan.scales)
+            if angle == 0.97:
+                assert plan.border_bands.shape[0] >= 1, "no border bands"
+            dets = fc.run_cascade(frame, rows, cols, angle=angle, **cfg)
+            want = oracle_run_cascade(
+                face_forest, frame.ravel(), rows, cols, cols,
+                cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+                cfg["scale_factor"], angle=angle)
+            assert dets.shape == want.shape, (no_native, angle)
+            assert np.array_equal(dets[:, :3], want[:, :3]), (no_native, angle)
+            assert np.array_equal(dets[:, 3].astype(np.float32),
+                                  want[:, 3].astype(np.float32))
+
+
+def test_native_run_band_matches_oracle(face_forest, sample_gray):
+    """The native border-band scan (full grid minus interior rectangle)
+    equals an explicit oracle scan of the same windows."""
+    from pigo_tpu import native as nat
+    from pigo_tpu.oracle.face import oracle_classify_rotated_region
+
+    if not nat.native_available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rows, cols = sample_gray.shape
+    scale, angle, shift = 80, 0.25, 0.2
+    k = max(int(shift * scale), 1)
+    offset = scale // 2 + 1
+    band = np.array([[scale, 61, 301, 61, 221]], np.int32)
+    eng = nat.NativeFaceCascade()
+    got = eng.run_band(sample_gray.ravel(), rows, cols, band,
+                       shift_factor=shift, angle=angle)
+    rr = np.arange(offset, rows - offset + 1, k, dtype=np.int64)
+    cc = np.arange(offset, cols - offset + 1, k, dtype=np.int64)
+    inside = (((rr >= 61) & (rr <= 301))[:, None]
+              & ((cc >= 61) & (cc <= 221))[None, :])
+    rw = np.repeat(rr, cc.size)[~inside.ravel()]
+    cw = np.tile(cc, rr.size)[~inside.ravel()]
+    q = oracle_classify_rotated_region(
+        face_forest, rw, cw, scale, angle, rows, cols, sample_gray.ravel(),
+        cols)
+    hit = q > 0.0
+    want = np.stack([rw[hit], cw[hit], np.full(hit.sum(), scale), q[hit]],
+                    axis=1).astype(np.float64)
+    assert got.shape == want.shape
+    assert np.array_equal(got[:, :3], want[:, :3])
+    assert np.array_equal(got[:, 3].astype(np.float32),
+                          want[:, 3].astype(np.float32))
