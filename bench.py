@@ -54,14 +54,25 @@ def main() -> int:
     warm = list(fc.stream_hits(frames[:2], depth=DEPTH, **cfg))
     assert np.array_equal(warm[0], dets), "stream parity sanity"
 
-    t0 = time.perf_counter()
-    n_clusters = 0
-    for frame_dets in fc.stream_hits(frames, depth=DEPTH, **cfg):
-        n_clusters += cluster_detections(frame_dets, 0.2).shape[0]
-    dt = (time.perf_counter() - t0) / N_FRAMES
-    assert n_clusters >= N_FRAMES, "benchmark sanity: faces lost in stream"
+    from pigo_tpu.utils.profiling import FpsMeter, PipelineStats
 
     plan, *_ = fc._dense_plan(rows, cols, 20, 1000, 0.1, 1.1)
+    stats = PipelineStats()
+    meter = FpsMeter(window=N_FRAMES)
+    fps_roll = 0.0
+    t0 = time.perf_counter()
+    n_clusters = 0
+    with stats.stage("stream_hits+cluster", items=N_FRAMES * plan.num_windows):
+        for frame_dets in fc.stream_hits(frames, depth=DEPTH, **cfg):
+            with stats.stage("cluster", items=frame_dets.shape[0]):
+                n_clusters += cluster_detections(frame_dets, 0.2).shape[0]
+            fps_roll = meter.tick()
+    dt = (time.perf_counter() - t0) / N_FRAMES
+    assert n_clusters >= N_FRAMES, "benchmark sanity: faces lost in stream"
+    # per-stage observability on stderr (the single JSON line below is the
+    # machine-read result and stays on stdout)
+    print(f"rolling fps (FpsMeter): {fps_roll:.1f}", file=sys.stderr)
+    stats.report(file=sys.stderr)
     print(
         json.dumps(
             {

@@ -246,7 +246,113 @@ class TpuEngine:
         ]
 
 
+class TpuStreamEngine(TpuEngine):
+    """TpuEngine served through the device-resident streaming pipeline.
+
+    A worker thread feeds incoming frames into
+    FaceDetector.detect_stream_device (ONE device round trip per frame,
+    `depth` frames in flight), so concurrent callers' frames pipeline
+    against each other instead of serializing full round trips — the
+    serving shape of the reference's realtime WASM loop
+    (wasm/canvas/canvas.go:69-112). Frames must share one shape and one
+    parameter set (fixed at construction); anything else falls back to the
+    direct detect() path."""
+
+    def __init__(self, with_pupils=True, with_landmarks=True, seed=0,
+                 depth=4, min_size=100, max_size=600, shift=0.1, scale=1.1,
+                 iou=0.2):
+        super().__init__(with_pupils=with_pupils,
+                         with_landmarks=with_landmarks, seed=seed)
+        import collections
+        import queue
+        import threading
+
+        if self.det.pupil is None or self.det.landmarks is None:
+            raise ValueError("TpuStreamEngine needs the full pipeline "
+                             "(pupils + landmarks)")
+        self._cfg = dict(min_size=min_size, max_size=max_size, shift=shift,
+                         scale=scale, iou=iou)
+        self._depth = max(1, depth)
+        self._inq: queue.Queue = queue.Queue()
+        self._pending = collections.deque()  # worker-thread only
+        self._shape = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        """Adaptive dispatch/collect loop: dispatch every queued frame
+        immediately (device-resident pipeline, async), collect the oldest
+        result when the pipeline is full or no new frame is waiting — so a
+        lone sequential caller gets minimum latency while concurrent
+        callers' frames overlap up to `depth` deep on the device."""
+        import queue as queue_mod
+
+        from pigo_tpu.detector import PERTURBS
+
+        params = self._params_cls(self._cfg["min_size"], self._cfg["max_size"],
+                                  self._cfg["shift"], self._cfg["scale"])
+        pending = self._pending
+        empty = object()
+        i = 0
+        while True:
+            try:
+                item = self._inq.get(block=not pending)
+            except queue_mod.Empty:
+                item = empty
+            if item is None:  # shutdown: drain
+                while pending:
+                    ticket, box = pending.popleft()
+                    box["results"] = self.det._collect_frame_device(ticket)
+                    box["event"].set()
+                return
+            if item is not empty:
+                gray2d, box = item
+                key = self._jax.random.fold_in(self.key, i)
+                i += 1
+                ticket = self.det._dispatch_frame_device(
+                    gray2d, params, 0.0, self._cfg["iou"], PERTURBS, key)
+                pending.append((ticket, box))
+                if len(pending) < self._depth:
+                    continue  # try to batch more dispatches first
+            ticket, box = pending.popleft()
+            box["results"] = self.det._collect_frame_device(ticket)
+            box["event"].set()
+
+    def detect(self, frame_bgr: np.ndarray, *, min_size=100, max_size=600,
+               shift=0.1, scale=1.1, iou=0.2) -> list[dict]:
+        import threading
+
+        from pigo_tpu.io.image import rgb_to_grayscale
+
+        rows, cols = frame_bgr.shape[:2]
+        cfg = dict(min_size=min_size, max_size=max_size, shift=shift,
+                   scale=scale, iou=iou)
+        if self._shape is None:
+            self._shape = (rows, cols)
+        if cfg != self._cfg or (rows, cols) != self._shape:
+            return super().detect(frame_bgr, **cfg)  # off-stream request
+        gray = rgb_to_grayscale(
+            np.ascontiguousarray(frame_bgr[:, :, ::-1])
+        ).reshape(rows, cols)
+        box = {"event": threading.Event(), "results": None}
+        self._inq.put((gray, box))
+        box["event"].wait()
+        return [
+            {
+                "face": (r.face.row, r.face.col, r.face.scale, r.face.q),
+                "eyes": [(e.row, e.col, e.scale) for e in r.eyes],
+                "landmarks": [(p.row, p.col, p.scale) for p in r.landmarks],
+            }
+            for r in box["results"]
+        ]
+
+
 def make_engine(name: str, **kw):
+    if name == "tpu-stream":
+        return TpuStreamEngine(**kw)
+    kw.pop("depth", None)
+    kw.pop("min_size", None), kw.pop("max_size", None)
+    kw.pop("shift", None), kw.pop("scale", None), kw.pop("iou", None)
     return NativeEngine(**kw) if name == "native" else TpuEngine(**kw)
 
 

@@ -49,11 +49,7 @@ document.addEventListener('keypress', ev => {
   if (ev.key in show) show[ev.key] = !show[ev.key];
 });
 let last = performance.now(), frames = 0;
-async function loop() {
-  ctx.drawImage(v, 0, 0, cv.width, cv.height);
-  const blob = await new Promise(r => cv.toBlob(r, 'image/jpeg', 0.7));
-  const resp = await fetch('/detect', {method: 'POST', body: blob});
-  const dets = await resp.json();
+function draw(dets) {
   ctx.drawImage(v, 0, 0, cv.width, cv.height);
   ctx.lineWidth = 2;
   for (const d of dets) {
@@ -73,8 +69,27 @@ async function loop() {
     document.getElementById('fps').textContent = (frames * 1000 / (now - last)).toFixed(1);
     frames = 0; last = now;
   }
-  requestAnimationFrame(loop);
 }
+// Pipelined loop: keep up to DEPTH detect requests in flight so the
+// network+device round trips of consecutive frames overlap (the server's
+// stream engine pipelines them on the device). Responses are applied in
+// send order.
+const DEPTH = 3;
+let inflight = 0;
+async function pump() {
+  if (inflight >= DEPTH) return;
+  inflight++;
+  ctx.drawImage(v, 0, 0, cv.width, cv.height);
+  const blob = await new Promise(r => cv.toBlob(r, 'image/jpeg', 0.7));
+  try {
+    const resp = await fetch('/detect', {method: 'POST', body: blob});
+    draw(await resp.json());
+  } finally {
+    inflight--;
+    setTimeout(pump, 0);
+  }
+}
+function loop() { while (inflight < DEPTH) pump(); }
 navigator.mediaDevices.getUserMedia({video: true}).then(s => {
   v.srcObject = s; v.onloadedmetadata = () => loop();
 }).catch(e => document.body.innerHTML += '<p>webcam unavailable: ' + e + '</p>');
@@ -113,7 +128,7 @@ def annotate(cv2, frame, results):
             cv2.circle(frame, (int(p[1]), int(p[0])), 2, (255, 255, 0), -1)
 
 
-def make_handler(engine, args, lock):
+def make_handler(engine, args, lock, stats, meter):
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
@@ -121,7 +136,15 @@ def make_handler(engine, args, lock):
             sys.stderr.write("%s - %s\n" % (self.address_string(), fmt % a))
 
         def do_GET(self):
-            if self.path == "/":
+            if self.path == "/stats":
+                payload = dict(stats.as_dict(), fps=round(meter.value, 1))
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/":
                 body = PAGE.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
@@ -172,10 +195,18 @@ def make_handler(engine, args, lock):
             if frame is None:
                 self.send_error(400, "bad image")
                 return
-            with lock:
-                results = engine.detect(
-                    frame, min_size=args.min_size, max_size=args.max_size,
-                    shift=args.shift, scale=args.scale, iou=args.iou)
+            with stats.stage("detect", items=1):
+                if lock is None:  # stream engine: thread-safe queue
+                    results = engine.detect(
+                        frame, min_size=args.min_size, max_size=args.max_size,
+                        shift=args.shift, scale=args.scale, iou=args.iou)
+                else:
+                    with lock:
+                        results = engine.detect(
+                            frame, min_size=args.min_size,
+                            max_size=args.max_size, shift=args.shift,
+                            scale=args.scale, iou=args.iou)
+            meter.tick()
             body = json.dumps(results_to_json(results)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -187,15 +218,32 @@ def make_handler(engine, args, lock):
 
 
 def main():
+    from pigo_tpu.utils.profiling import FpsMeter, PipelineStats
+
     p = build_argparser(__doc__)
     p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--depth", type=int, default=4,
+                   help="in-flight frames for the tpu-stream engine")
+    for a in p._actions:  # extend the shared --engine choices
+        if a.dest == "engine":
+            a.choices = ("native", "tpu", "tpu-stream")
     args = p.parse_args()
-    engine = make_engine(args.engine, with_pupils=True, with_landmarks=True)
-    lock = threading.Lock()  # engines are not re-entrant; serialize detects
+    if args.engine == "tpu-stream":
+        engine = make_engine(
+            "tpu-stream", with_pupils=True, with_landmarks=True,
+            depth=args.depth, min_size=args.min_size, max_size=args.max_size,
+            shift=args.shift, scale=args.scale, iou=args.iou)
+        lock = None  # queue-backed; concurrent requests pipeline on device
+    else:
+        engine = make_engine(args.engine, with_pupils=True,
+                             with_landmarks=True)
+        lock = threading.Lock()  # not re-entrant; serialize detects
+    stats = PipelineStats()
+    meter = FpsMeter()
     srv = ThreadingHTTPServer(("0.0.0.0", args.port),
-                              make_handler(engine, args, lock))
-    print(f"serving on http://localhost:{args.port}  (page: /, stream: /cam)",
-          file=sys.stderr)
+                              make_handler(engine, args, lock, stats, meter))
+    print(f"serving on http://localhost:{args.port}  (page: /, stream: /cam, "
+          f"stats: /stats)", file=sys.stderr)
     srv.serve_forever()
 
 

@@ -616,6 +616,23 @@ int64_t pigo_face_run_scales(void* h, const uint8_t* pixels, int rows,
   return n;
 }
 
+// Exact scores for an explicit window list (int32 [n, 3] = row, col,
+// scale). Used to finish the few windows the device's tree-prefix pass
+// left undecided (ops/face_pallas.PREFIX_TREES survivors).
+void pigo_classify_batch(void* h, const uint8_t* pixels, int nrows, int dim,
+                         const int32_t* windows, int64_t n, double angle,
+                         float* out) {
+  const auto& f = *static_cast<FaceForest*>(h);
+  if (angle > 1.0) angle = 1.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* w = windows + 3 * i;
+    out[i] = (angle > 0.0)
+                 ? classify_rotated_region(f, w[0], w[1], w[2], angle, nrows,
+                                           pixels, dim)
+                 : classify_region(f, w[0], w[1], w[2], pixels, dim);
+  }
+}
+
 // Border-band scan for the rotated dense plan: for each band row
 // (scale, r_lo, r_hi, c_lo, c_hi), scan the scale's full reference grid
 // EXCLUDING the inclusive interior rectangle [r_lo..r_hi]x[c_lo..c_hi] of

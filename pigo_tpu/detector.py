@@ -38,12 +38,20 @@ MIN_EYE_FACE_SCALE = 50
 
 @dataclasses.dataclass(frozen=True)
 class ImageParams:
-    """Grayscale frame (reference core/pigo.go:29-34)."""
+    """Grayscale frame (reference core/pigo.go:29-34). Accepted by
+    FaceDetector.detect/detect_faces in place of (gray, rows, cols)."""
 
     pixels: np.ndarray  # flat uint8 [rows*dim]
     rows: int
     cols: int
     dim: int
+
+
+def _coerce_image(gray, rows, cols):
+    """(gray, rows, cols) or an ImageParams -> (pixels, rows, cols, dim)."""
+    if isinstance(gray, ImageParams):
+        return gray.pixels, gray.rows, gray.cols, gray.dim
+    return gray, rows, cols, None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,13 +222,16 @@ def _attach_post(res, eyes, lmk, i, npts, perturbs):
         ]
 
 
-# Capacities of the device-resident frame program (_device_detect): dense
-# hits + host-tail detections entering on-device clustering, and the fixed
-# face-slot count of the fused post stage. Frames exceeding these route to
-# the host path (the overflow flag in the output signals it).
-DEV_DENSE_CAP = 64
-DEV_TAIL_CAP = 32
-DEV_MAX_FACES = 2
+# Default capacities of the device-resident frame program (_device_detect):
+# dense hits + host-tail detections entering on-device clustering, and the
+# fixed face-slot count of the fused post stage. Frames exceeding these
+# route to the host path (the overflow flag in the output signals it) —
+# sized so crowd frames (up to 8 faces) stay on the one-round-trip device
+# pipeline (the reference has no detection cap, core/pigo.go:246-248);
+# override per detector via FaceDetector(device_caps=...).
+DEV_DENSE_CAP = 256
+DEV_TAIL_CAP = 64
+DEV_MAX_FACES = 8
 
 
 def _device_detect_impl(
@@ -228,6 +239,7 @@ def _device_detect_impl(
     pcodes, ppreds, lcodes, lpreds,
     *, hit_cap, iou_threshold, perturbs, rows, cols, angle_idx, rotated,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips,
+    dense_cap=DEV_DENSE_CAP, tail_cap=DEV_TAIL_CAP, max_faces=DEV_MAX_FACES,
 ):
     """The WHOLE post-kernel frame pipeline as ONE XLA program.
 
@@ -239,7 +251,7 @@ def _device_detect_impl(
     cluster tie order for equal q and f32 q-sum reduction order."""
     from pigo_tpu.ops.cluster_device import cluster_device
 
-    cc = DEV_DENSE_CAP + DEV_TAIL_CAP
+    cc = dense_cap + tail_cap
     # ---- decode dense hits ----
     count = packed[0].astype(jnp.int32)
     idx = packed[1 : 1 + hit_cap].astype(jnp.int32)
@@ -250,13 +262,13 @@ def _device_detect_impl(
     dn = jnp.stack(
         [rows_w[gidx].astype(jnp.float32), cols_w[gidx].astype(jnp.float32),
          scale_w[gidx].astype(jnp.float32), qv], axis=1,
-    )[:DEV_DENSE_CAP]
-    dense_valid = dense_valid[:DEV_DENSE_CAP]
+    )[:dense_cap]
+    dense_valid = dense_valid[:dense_cap]
     # ---- merge the host tail ----
-    tail_valid = jnp.arange(DEV_TAIL_CAP) < tail_n
+    tail_valid = jnp.arange(tail_cap) < tail_n
     dets = jnp.concatenate([dn, tail.astype(jnp.float32)])
     valid = jnp.concatenate([dense_valid, tail_valid])
-    overflow = (count > DEV_DENSE_CAP) | (tail_n > DEV_TAIL_CAP)
+    overflow = (count > dense_cap) | (tail_n > tail_cap)
 
     # ---- cluster + face gating ----
     clusters, cvalid = cluster_device(
@@ -264,10 +276,10 @@ def _device_detect_impl(
     )
     keep = cvalid & (clusters[:, 3] > jnp.float32(Q_THRESH))
     n_faces = jnp.sum(keep.astype(jnp.int32))
-    slots = jnp.nonzero(keep, size=DEV_MAX_FACES, fill_value=-1)[0]
+    slots = jnp.nonzero(keep, size=max_faces, fill_value=-1)[0]
     fvalid = slots >= 0
-    faces = clusters[jnp.clip(slots, 0)]  # [MAX_FACES, 4]
-    overflow = overflow | (n_faces > DEV_MAX_FACES)
+    faces = clusters[jnp.clip(slots, 0)]  # [max_faces, 4]
+    overflow = overflow | (n_faces > max_faces)
     eyed = fvalid & (faces[:, 2] > jnp.float32(MIN_EYE_FACE_SCALE))
 
     # ---- fused eyes + landmarks over the fixed face slots ----
@@ -278,7 +290,7 @@ def _device_detect_impl(
     post = _fused_post_impl(
         key, erow, ecol, escale,
         pixels, pcodes, ppreds, lcodes, lpreds,
-        f=DEV_MAX_FACES, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
+        f=max_faces, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
         angle_idx=angle_idx, rotated=rotated,
         pupil_geom=pupil_geom, lmk_geom=lmk_geom,
         lmk_cids=lmk_cids, lmk_flips=lmk_flips,
@@ -296,7 +308,8 @@ _device_detect = jax.jit(
     _device_detect_impl,
     static_argnames=(
         "hit_cap", "iou_threshold", "perturbs", "rows", "cols", "angle_idx",
-        "rotated", "pupil_geom", "lmk_geom",
+        "rotated", "pupil_geom", "lmk_geom", "dense_cap", "tail_cap",
+        "max_faces",
     ),
 )
 
@@ -312,7 +325,14 @@ class FaceDetector:
         *,
         with_pupils: bool = True,
         with_landmarks: bool = True,
+        device_caps: tuple[int, int, int] | None = None,
     ):
+        # (dense_cap, tail_cap, max_faces) for the device-resident frame
+        # program; frames exceeding them fall back to the exact host path
+        self.device_caps = (
+            device_caps if device_caps is not None
+            else (DEV_DENSE_CAP, DEV_TAIL_CAP, DEV_MAX_FACES)
+        )
         self.face = face if face is not None else FaceCascade()
         self.pupil = (
             pupil
@@ -327,16 +347,17 @@ class FaceDetector:
 
     def detect_faces(
         self,
-        gray: np.ndarray,
-        rows: int,
-        cols: int,
+        gray: np.ndarray | ImageParams,
+        rows: int | None = None,
+        cols: int | None = None,
         params: CascadeParams = CascadeParams(),
         angle: float = 0.0,
         iou_threshold: float = 0.15,
     ) -> list[Detection]:
         """RunCascade + ClusterDetections (main.go:350-353)."""
+        gray, rows, cols, dim = _coerce_image(gray, rows, cols)
         dets = self.face.run_cascade(
-            gray, rows, cols,
+            gray, rows, cols, dim,
             min_size=params.min_size, max_size=params.max_size,
             shift_factor=params.shift_factor, scale_factor=params.scale_factor,
             angle=angle,
@@ -349,9 +370,9 @@ class FaceDetector:
 
     def detect(
         self,
-        gray: np.ndarray,
-        rows: int,
-        cols: int,
+        gray: np.ndarray | ImageParams,
+        rows: int | None = None,
+        cols: int | None = None,
         params: CascadeParams = CascadeParams(),
         angle: float = 0.0,
         iou_threshold: float = 0.15,
@@ -365,6 +386,11 @@ class FaceDetector:
         per frame regardless of face count (the reference makes
         2 + 15 sequential RunDetector calls per face,
         cmd/pigo/main.go:422-564)."""
+        gray, rows, cols, dim = _coerce_image(gray, rows, cols)
+        if dim is not None and dim != cols:
+            raise ValueError(
+                "detect() supports ImageParams with dim == cols only; use "
+                "detect_faces for strided frames")
         faces = self.detect_faces(gray, rows, cols, params, angle, iou_threshold)
         key = key if key is not None else jax.random.PRNGKey(0)
         results = [
@@ -487,6 +513,7 @@ class FaceDetector:
         perturbs: int = PERTURBS,
         key: jax.Array | None = None,
         depth: int = 4,
+        stats=None,  # optional pigo_tpu.utils.profiling.PipelineStats
     ):
         """Device-resident streaming pipeline: per frame, the dense kernels,
         on-device clustering, face gating, and the fused eyes+landmarks stage
@@ -508,15 +535,24 @@ class FaceDetector:
             return
         key = key if key is not None else jax.random.PRNGKey(0)
         depth = max(1, depth)
+        if stats is None:
+            from pigo_tpu.utils.profiling import PipelineStats
+
+            stats = PipelineStats()  # unobserved but keeps one code path
         q: collections.deque = collections.deque()
         for i, frame in enumerate(frames):
-            q.append(self._dispatch_frame_device(
-                frame, params, angle, iou_threshold, perturbs,
-                jax.random.fold_in(key, i)))
+            with stats.stage("dispatch", items=1):
+                q.append(self._dispatch_frame_device(
+                    frame, params, angle, iou_threshold, perturbs,
+                    jax.random.fold_in(key, i)))
             if len(q) >= depth:
-                yield self._collect_frame_device(q.popleft())
+                with stats.stage("collect", items=1):
+                    out = self._collect_frame_device(q.popleft())
+                yield out
         while q:
-            yield self._collect_frame_device(q.popleft())
+            with stats.stage("collect", items=1):
+                out = self._collect_frame_device(q.popleft())
+            yield out
 
     def _dispatch_frame_device(self, frame, params, angle, iou_threshold,
                                perturbs, key):
@@ -530,9 +566,13 @@ class FaceDetector:
         cfg = (params.min_size, params.max_size, params.shift_factor,
                params.scale_factor)
         angle_idx0 = int(32.0 * min(angle, 1.0)) if angle > 0.0 else 0
+        # prefix=False: the on-device clustering of this pipeline cannot
+        # escalate tree-prefix survivors to the host, so tail scales route
+        # to the host engine wholesale here
         plan, dense_fn, dense_fn_full, d2g = fc._dense_plan(
-            rows, cols, *cfg, angle_idx0)
-        arrays = fc.device_plan_arrays(rows, cols, *cfg, angle_idx0)
+            rows, cols, *cfg, angle_idx0, prefix=False)
+        arrays = fc.device_plan_arrays(rows, cols, *cfg, angle_idx0,
+                                       prefix=False)
         img2d = jnp.asarray(frame, jnp.uint8).reshape(rows, cols)
         cap = fc.HIT_CAPACITY
         if d2g.size:
@@ -541,22 +581,23 @@ class FaceDetector:
             empty = np.zeros(1 + 2 * cap, np.float32)
             empty[1 : 1 + cap] = -1.0
             packed = jnp.asarray(empty)
-        tail_np = np.zeros((DEV_TAIL_CAP, 4), np.float32)
+        dense_cap, tail_cap, max_faces = self.device_caps
+        tail_np = np.zeros((tail_cap, 4), np.float32)
         tail_n = 0
         if plan.has_fallback:
             host_pix = frame if isinstance(frame, np.ndarray) else np.asarray(img2d)
             fb = fc._fallback_hits(host_pix, plan, rows, cols, *cfg,
                                    angle=angle)
             tail_n = fb.shape[0]
-            tail_np[: min(tail_n, DEV_TAIL_CAP)] = fb[:DEV_TAIL_CAP]
+            tail_np[: min(tail_n, tail_cap)] = fb[:tail_cap]
         pg = self.pupil.forest
         lg = self.landmarks.geometry
         sched = self.landmarks.point_schedule
         lmk_cids = np.tile(
             np.array([self.landmarks._name_to_id[n] for n, _ in sched],
-                     np.int32), DEV_MAX_FACES)
+                     np.int32), max_faces)
         lmk_flips = np.tile(np.array([fl for _, fl in sched], bool),
-                            DEV_MAX_FACES)
+                            max_faces)
         rotated = angle > 0.0
         angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
         fut = _device_detect(
@@ -571,6 +612,7 @@ class FaceDetector:
             pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
             lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
+            dense_cap=dense_cap, tail_cap=tail_cap, max_faces=max_faces,
         )
         try:
             fut.copy_to_host_async()
@@ -583,7 +625,7 @@ class FaceDetector:
         (fut, frame, params, angle, iou_threshold, perturbs, key,
          npts) = ticket
         out = np.asarray(fut)  # the frame's single round trip
-        mf = DEV_MAX_FACES
+        mf = self.device_caps[2]
         overflow = out[0] > 0.0
         if overflow:  # rare: capacities exceeded -> exact host pipeline
             rows, cols = frame.shape[-2], frame.shape[-1]

@@ -37,6 +37,7 @@ class FaceCascade:
         backend: str = "pallas",
         interpret: bool | None = None,
         raw: bytes | None = None,
+        prefix: bool | None = None,
     ):
         ensure_compilation_cache()
         if forest is None:
@@ -58,6 +59,27 @@ class FaceCascade:
             if interpret is not None
             else jax.default_backend() not in ("tpu", "axon")
         )
+        # Tree-prefix tail mode: sparse tail scales stay on device
+        # (PREFIX_TREES trees densely, survivors finished on host by the
+        # vectorized oracle). Measured on the headline pyramid: 79.3 fps at
+        # 99.7% device-resident windows vs 94.8 fps with the C++ host tail
+        # engine — so the default uses the host engine when it exists and
+        # prefix mode when it does not (PIGO_TPU_NO_NATIVE / no g++), which
+        # replaces round 1's catastrophic gather fallback (7 fps there).
+        # Interpret mode defaults off: XLA:CPU chokes on the ~20 extra
+        # kernel compilations (CI covers prefix with small opt-in configs).
+        if prefix is None:
+            import os
+
+            if self.interpret:
+                prefix = False
+            elif os.environ.get("PIGO_TPU_NO_NATIVE") or raw is None:
+                prefix = True
+            else:
+                from pigo_tpu.native import native_available
+
+                prefix = not native_available()
+        self.prefix = prefix
         codes_p, preds_p, thresh_p, t_pad = face_dense.pad_trees(self.forest, block)
         self.t_pad = t_pad
         self._padded = FaceForest(
@@ -140,14 +162,16 @@ class FaceCascade:
     HIT_CAPACITY = 4096
 
     def _dense_plan(self, rows, cols, min_size, max_size, shift, scale_f,
-                    angle_idx=0):
-        key = (rows, cols, min_size, max_size, shift, scale_f, angle_idx)
+                    angle_idx=0, prefix=None):
+        prefix = self.prefix if prefix is None else prefix
+        key = (rows, cols, min_size, max_size, shift, scale_f, angle_idx,
+               prefix)
         hit = self._dense_plans.get(key)
         if hit is not None:
             return hit
         plan = face_pallas.build_dense_plan(
             self.forest, rows, cols, min_size, max_size, shift, scale_f,
-            angle_idx,
+            angle_idx, prefix,
         )
         # Tables/preds are passed as runtime ARGUMENTS (device-resident
         # handles), not closure constants: some runtimes re-ship executable
@@ -161,12 +185,14 @@ class FaceCascade:
         cap = self.HIT_CAPACITY
 
         def scores(img2d, tables, preds, thresh):
+            # In interpret mode each scale's kernel call is a small shared
+            # jit (face_pallas._scale_call) — the outer chain stays eager
+            # (one module with 20+ kernels crashes XLA:CPU; see below).
             return face_pallas.pyramid_scores(
                 img2d, plan, self.forest, tables, preds, thresh, interpret
             )
 
-        @jax.jit
-        def dense_sparse(img2d, tables, preds, thresh):
+        def dense_sparse_impl(img2d, tables, preds, thresh):
             # Sparse on-device compaction: ship only (index, score) hits to
             # the host instead of the full dense score vector. Packed into a
             # single f32 array -> one host transfer (indices < 2^24 are f32-
@@ -179,7 +205,13 @@ class FaceCascade:
                 [count[None].astype(jnp.float32), idx.astype(jnp.float32), q[idx]]
             )
 
-        dense_full_jit = jax.jit(scores)
+        # In interpret mode (CPU tests) the pyramid stays EAGER: jitting
+        # 20+ unrolled while-loop kernels into one XLA:CPU module crashes
+        # the compiler (observed segfault); on TPU the single jit is what
+        # collapses per-frame dispatch overhead.
+        dense_sparse = (jax.jit(dense_sparse_impl) if not interpret
+                        else dense_sparse_impl)
+        dense_full_jit = jax.jit(scores) if not interpret else scores
 
         def dense_fn(img2d):
             return dense_sparse(img2d, tables_dev, self.preds_flat, self.thresh_flat)
@@ -190,9 +222,8 @@ class FaceCascade:
         # batched variant keeps the tables as runtime arguments too (vmap
         # only over the frame axis); a vmap over the closure dense_fn would
         # bake them into the executable as constants
-        dense_sparse_batch = jax.jit(
-            jax.vmap(dense_sparse, in_axes=(0, None, None, None))
-        )
+        vm = jax.vmap(dense_sparse_impl, in_axes=(0, None, None, None))
+        dense_sparse_batch = jax.jit(vm) if not interpret else vm
 
         def dense_fn_batch(frames):
             return dense_sparse_batch(
@@ -223,6 +254,51 @@ class FaceCascade:
         entry = (plan, dense_fn, dense_fn_full, dense_to_global)
         self._dense_plans[key] = entry
         return entry
+
+    # ------------------------------------------------- prefix-mode escalation
+
+    def _classify_exact_host(self, img2d, coords, angle=0.0) -> np.ndarray:
+        """Exact f32 cascade scores for explicit windows int [N, 3]
+        (row, col, scale): the native engine when available, otherwise the
+        vectorized NumPy oracle. Finishes the few windows the device's
+        tree-prefix pass left undecided (ops/face_pallas.PREFIX_TREES)."""
+        coords = np.asarray(coords, np.int32).reshape(-1, 3)
+        if coords.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        pix = np.asarray(img2d, np.uint8)
+        rows, cols = pix.shape[-2], pix.shape[-1]
+        nat = self._native_tail()
+        if nat is not None:
+            return nat.classify_batch(pix.ravel(), rows, cols, coords, angle)
+        from pigo_tpu.oracle.face import (oracle_classify_region,
+                                          oracle_classify_rotated_region)
+
+        out = np.empty(coords.shape[0], np.float32)
+        for s in np.unique(coords[:, 2]):
+            m = coords[:, 2] == s
+            if angle > 0.0:
+                out[m] = oracle_classify_rotated_region(
+                    self.forest, coords[m, 0], coords[m, 1], int(s),
+                    min(angle, 1.0), rows, cols, pix.ravel(), cols)
+            else:
+                out[m] = oracle_classify_region(
+                    self.forest, coords[m, 0], coords[m, 1], int(s),
+                    pix.ravel(), cols)
+        return out
+
+    def _resolve_marked(self, dets, img2d, angle=0.0) -> np.ndarray:
+        """Replace PREFIX_MARK placeholder scores in [N, 4] detection rows
+        with exact host-computed scores; drop rows that turn out q <= 0."""
+        if dets.shape[0] == 0:
+            return dets
+        marked = dets[:, 3] >= face_pallas.PREFIX_MARK / 2
+        if not marked.any():
+            return dets
+        q = self._classify_exact_host(
+            img2d, dets[marked, :3].astype(np.int32), angle)
+        dets = dets.copy()
+        dets[marked, 3] = q.astype(np.float64)
+        return dets[dets[:, 3] > 0.0]
 
     # ---------------------------------------------------------- native tail
 
@@ -336,18 +412,20 @@ class FaceCascade:
                 else np.zeros((0, 4), np.float64))
 
     def device_plan_arrays(self, rows, cols, min_size, max_size,
-                           shift_factor, scale_factor, angle_idx=0):
+                           shift_factor, scale_factor, angle_idx=0,
+                           prefix=None):
         """Device-resident (row, col, scale) tables for every plan window +
         the dense->global index map — lets downstream XLA programs decode the
         packed hit list without a host round trip."""
+        prefix = self.prefix if prefix is None else prefix
         key = ("dev", rows, cols, min_size, max_size, shift_factor,
-               scale_factor, angle_idx)
+               scale_factor, angle_idx, prefix)
         hit = self._batch_fns.get(key)
         if hit is not None:
             return hit
         plan, _, _, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor,
-            angle_idx,
+            angle_idx, prefix,
         )
         arrays = {
             "rows_w": jnp.asarray(plan.rows_w, jnp.int32),
@@ -399,6 +477,14 @@ class FaceCascade:
         )
         img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
         q_dense = np.asarray(dense_fn_full(img2d))
+        marked = q_dense >= face_pallas.PREFIX_MARK / 2
+        if marked.any():  # exact host finish for tree-prefix survivors
+            coords_m = np.stack(
+                [plan.rows_w[d2g[marked]], plan.cols_w[d2g[marked]],
+                 plan.scale_w[d2g[marked]]], axis=1)
+            q_dense = q_dense.copy()
+            q_dense[marked] = self._classify_exact_host(
+                np.asarray(img2d), coords_m)
 
         coords = np.stack([plan.rows_w, plan.cols_w, plan.scale_w], axis=1)
         q_full = np.full(plan.num_windows, -1.0, np.float32)
@@ -451,8 +537,16 @@ class FaceCascade:
             angle_idx,
         )
         if plan.num_windows == 0:  # image smaller than the minimum face size
-            return (None, None, plan, d2g, dense_fn_full, None)
+            return (None, None, plan, d2g, dense_fn_full, None, None)
         img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        # Host pixels for the tail engine and the tree-prefix survivor
+        # finish, WITHOUT a per-frame device round trip at collect time
+        # (callers normally hand us numpy frames; a device-array input pays
+        # one fetch here, at dispatch, where it can overlap).
+        host_pix = (
+            pixels if isinstance(pixels, np.ndarray) else np.asarray(img2d)
+        )
+        host_pix = np.asarray(host_pix, np.uint8).reshape(rows, cols)
         if d2g.size == 0:  # every scale routed to the fallback engine
             fut = None
         else:
@@ -463,16 +557,10 @@ class FaceCascade:
                 pass
         fb = None
         if plan.has_fallback:
-            # Host pixels for the tail engine WITHOUT a device round trip:
-            # only fetch img2d when the caller handed us a device array.
-            host_pix = (
-                pixels if isinstance(pixels, np.ndarray)
-                else np.asarray(img2d)
-            )
             fb = self._fallback_hits(host_pix, plan, rows, cols, min_size,
                                      max_size, shift_factor, scale_factor,
                                      angle)
-        return (fut, fb, plan, d2g, dense_fn_full, img2d)
+        return (fut, fb, plan, d2g, dense_fn_full, img2d, host_pix)
 
     def _collect_single(self, ticket, packed=None) -> np.ndarray:
         """Blocking half of sparse_hits: fetch + unpack + tail merge.
@@ -480,7 +568,7 @@ class FaceCascade:
         `packed` lets a caller supply the already-fetched hit list (e.g.
         from a batched jax.device_get combining several transfers into one
         host-link round trip)."""
-        fut, fb, plan, d2g, dense_fn_full, img2d = ticket
+        fut, fb, plan, d2g, dense_fn_full, img2d, host_pix = ticket
         if plan.num_windows == 0:
             return np.zeros((0, 4), dtype=np.float64)
         cap = self.HIT_CAPACITY
@@ -495,9 +583,11 @@ class FaceCascade:
             ])
         else:
             packed = np.asarray(fut)
-        return self._decode_hits(packed, fb, plan, d2g, dense_fn_full, img2d)
+        return self._decode_hits(packed, fb, plan, d2g, dense_fn_full, img2d,
+                                 host_pix)
 
-    def _decode_hits(self, packed, fb, plan, d2g, dense_fn_full, img2d):
+    def _decode_hits(self, packed, fb, plan, d2g, dense_fn_full, img2d,
+                     host_pix=None):
         """Unpack one frame's packed hit list and merge the tail detections
         in reference scan order. Shared by the single, batched, and
         streaming collect paths."""
@@ -523,6 +613,10 @@ class FaceCascade:
             ],
             axis=1,
         )
+        # exact host finish for tree-prefix survivors (PREFIX_MARK rows)
+        dets = self._resolve_marked(
+            dets, img2d if host_pix is None else host_pix,
+            plan.angle_idx / 32.0)
         if fb is not None and fb.shape[0]:
             # Merge keeping reference scan order (scale-major, then row,
             # then col): window coords are unique per scale, so a lexsort
@@ -545,7 +639,7 @@ class FaceCascade:
         frames = jnp.asarray(frames, jnp.uint8)
         b, rows, cols = frames.shape
         key = (rows, cols, min_size, max_size, shift_factor, scale_factor,
-               angle_idx)
+               angle_idx, self.prefix)
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor,
             angle_idx,
@@ -559,24 +653,26 @@ class FaceCascade:
                 fut.copy_to_host_async()
             except AttributeError:  # older jax Array without async copy
                 pass
+        # Host copy for the tail engine + the tree-prefix survivor finish,
+        # without per-frame device round trips at collect time.
+        host_frames = np.asarray(
+            frames_in if isinstance(frames_in, np.ndarray) else frames,
+            np.uint8,
+        ).reshape(b, rows, cols)
         fbs = None
         if plan.has_fallback:
-            # Host copy for the tail engine without a device round trip.
-            host_frames = (
-                frames_in if isinstance(frames_in, np.ndarray)
-                else np.asarray(frames)
-            )
             fbs = [
                 self._fallback_hits(host_frames[i], plan, rows, cols,
                                     min_size, max_size, shift_factor,
                                     scale_factor, angle)
                 for i in range(b)
             ]
-        return (fut, fbs, None, b, plan, d2g, dense_fn_full, frames)
+        return (fut, fbs, None, b, plan, d2g, dense_fn_full, frames,
+                host_frames)
 
     def _collect_batch(self, ticket) -> list[np.ndarray]:
         """Blocking half: fetch the packed hit lists and unpack per frame."""
-        fut, fbs, _, b, plan, d2g, dense_fn_full, frames = ticket
+        fut, fbs, _, b, plan, d2g, dense_fn_full, frames, host_frames = ticket
         cap = self.HIT_CAPACITY
         if plan.num_windows == 0:
             return [np.zeros((0, 4), dtype=np.float64) for _ in range(b)]
@@ -589,7 +685,7 @@ class FaceCascade:
         return [
             self._decode_hits(
                 packed[i], fbs[i] if fbs is not None else None, plan, d2g,
-                dense_fn_full, frames[i],
+                dense_fn_full, frames[i], host_frames[i],
             )
             for i in range(b)
         ]

@@ -90,6 +90,11 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
         ctypes.c_double, f64p, ctypes.c_int64,
     ]
+    lib.pigo_classify_batch.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.pigo_face_run_band.restype = ctypes.c_int64
     lib.pigo_face_run_band.argtypes = [
         ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -235,6 +240,18 @@ class NativeFaceCascade:
             if n <= cap:
                 return out[:n].copy()
             cap = int(n)
+
+    def classify_batch(self, pixels: np.ndarray, rows: int, dim: int,
+                       windows: np.ndarray, angle: float = 0.0) -> np.ndarray:
+        """Exact scores f32 [N] for windows int32 [N, 3] (row, col, scale)."""
+        pix = np.ascontiguousarray(pixels, dtype=np.uint8).ravel()
+        w = np.ascontiguousarray(windows, dtype=np.int32).reshape(-1, 3)
+        out = np.empty(w.shape[0], dtype=np.float32)
+        self._lib.pigo_classify_batch(
+            self._h, _u8ptr(pix), rows, dim,
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), w.shape[0],
+            angle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
 
     def run_band(self, pixels: np.ndarray, rows: int, cols: int,
                  bands: np.ndarray, *, dim: int | None = None,

@@ -80,6 +80,21 @@ PLANES_VMEM_BUDGET = 64 * 1024 * 1024
 # 16x128 tiles, where one surviving window stalls the whole scale — onto the
 # overlapped host engine).
 TAIL_MIN_WINDOWS = 6144
+# Tree-prefix mode for sparse tail scales: the device evaluates only the
+# first PREFIX_TREES trees densely (a fixed, small number of tile steps —
+# no straggler stall), marks the few surviving windows with PREFIX_MARK in
+# the score output, and the host finishes ONLY those windows exactly
+# (measured on the headline pyramid: 26.4k tail windows -> 406 survivors
+# after 32 trees). This keeps >99% of all windows' outcomes fully
+# device-decided without the one-window-stalls-a-scale pathology that made
+# whole tail scales host-routed in round 1.
+PREFIX_TREES = 32
+PREFIX_MARK = 1e30
+# Prefix scales must also have a COMPACT plane layout: at large scales the
+# k*k decimation blows up (few windows, huge stride), so planes above this
+# budget route the scale to the host wholesale instead (it has only a
+# handful of windows there anyway).
+PREFIX_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -116,6 +131,9 @@ class ScalePlan:
     fallback: bool  # True -> tail engine handles the whole scale
     r0: int = 0  # interior origin (reference-grid window center)
     c0: int = 0
+    col_groups: int = 1  # 128-lane window-column groups per kernel tile
+    prefix_trees: int = 0  # >0: evaluate only this many trees on device
+    plane_cols: int = 0  # pcb: plane columns per column phase
     i_lo: int = 0  # interior origin as full-grid indices
     j_lo: int = 0
     nr_full: int = 0  # full reference-grid extent (row/col window counts)
@@ -198,7 +216,7 @@ def _node_offsets(forest: FaceForest, scale: int, angle_idx: int):
 
 def _build_scale_tables(
     forest: FaceForest, scale: int, d: int, r0: int, c0: int, prg: int,
-    r_stride: int, angle_idx: int = 0,
+    pcb: int, r_stride: int, angle_idx: int = 0,
 ) -> np.ndarray:
     """Packed SMEM node tables for one scale at evaluation step d, window
     grid origin (r0, c0)."""
@@ -208,8 +226,12 @@ def _build_scale_tables(
     def pack(dr, dc):
         gr = r0 + dr  # global image coords of the node read for window (0,0)
         gc = c0 + dc
-        plane_row = ((gr % d) * d + (gc % d)) * prg + gr // d
-        v0 = gc // d
+        # Split layout: row phases stack on plane ROWS, column phases on
+        # plane COLUMNS — so _make_planes can build the planes as a cheap
+        # block transpose (rows) + one exact bf16 one-hot matmul on the MXU
+        # (columns) instead of lane-granularity shuffles.
+        plane_row = (gr % d) * prg + gr // d
+        v0 = (gc % d) * pcb + gc // d
         s1 = (v0 >> 7) * r_stride + plane_row
         return (s1 << 7) | (v0 & 127)
 
@@ -228,6 +250,7 @@ def build_dense_plan(
     shift_factor: float,
     scale_factor: float,
     angle_idx: int = 0,
+    prefix: bool = True,
 ) -> DensePlan:
     """Host-side planner: per-scale geometry, decimation choice, node tables.
 
@@ -235,6 +258,12 @@ def build_dense_plan(
     dense kernel covers each scale's interior window rectangle — where the
     quantized-rotation clamps can never trigger, so node reads stay
     window-independent — and the border band routes to the host tail scan.
+
+    prefix=True (default) keeps sparse tail scales on the device in
+    tree-prefix mode (PREFIX_TREES trees densely, survivors escalated to
+    the host via PREFIX_MARK); prefix=False routes them to the host tail
+    engine wholesale — used by the device-resident frame pipeline, whose
+    on-device clustering cannot escalate marked windows.
     """
     plans: list[ScalePlan] = []
     rws, cws, sws = [], [], []
@@ -292,7 +321,8 @@ def build_dense_plan(
         r0 = offset + i_lo * k
         c0 = offset + j_lo * k
 
-        if nr_int * nc_int < TAIL_MIN_WINDOWS:
+        sparse_tail = nr_int * nc_int < TAIL_MIN_WINDOWS
+        if sparse_tail and not prefix:
             plans.append(fallback_plan())
             continue
 
@@ -306,14 +336,27 @@ def build_dense_plan(
             nr = (nr_int - 1) * m + 1
             nc = (nc_int - 1) * m + 1
             nrt = _round_up(nr, TILE_R) // TILE_R
-            nct = _round_up(nc, LANE) // LANE
+            # Column groups widen tiles by reading chunk +g at identical
+            # roll amounts (shared scalar addressing). Measured on v5e the
+            # kernel is vector-issue bound, not scalar bound, so cg=2 LOSES
+            # (~10% on the 1080p pyramid) — keep single-group tiles; the
+            # machinery stays for hardware where the scalar unit dominates.
+            cg = 1
+            nct = _round_up(nc, cg * LANE) // (cg * LANE)
             # Planes carry only the rows real windows read; pad-window and
             # 16-row-aligned over-reads spill into the next plane (or the
             # global tail), which is harmless since those values are unused.
             prg = (r0 + dr_hi) // d + nr + 1
-            v0_max = (c0 + dc_hi) // d
-            r_stride = d * d * prg
-            n_chunks = (v0_max >> 7) + nct
+            # chunk stride (d*prg in the split layout) must be 8-aligned so
+            # the +g*R group reads keep Mosaic's 8-aligned sublane starts
+            while (d * prg) % SUBLANE:
+                prg += 1
+            # plane columns per column phase; reads for real windows stay
+            # inside one phase block (margin mirrors prg)
+            pcb = (c0 + dc_hi) // d + nc + 1
+            v0_max = (d - 1) * pcb + (c0 + dc_hi) // d
+            r_stride = d * prg
+            n_chunks = (v0_max >> 7) + cg * nct
             tail = (nrt * TILE_R - nr) + 2 * TILE_R
             # planes rows bucketed (1024, coarser when large) so many scales
             # share one compiled kernel specialization (R travels in SMEM)
@@ -322,14 +365,16 @@ def build_dense_plan(
             vmem = total_rows * CHUNK * 4
             if (total_rows << 7) >= (1 << 31):
                 continue  # packing limit
-            if vmem <= PLANES_VMEM_BUDGET:
-                chosen = (d, m, nr, nc, prg, r_stride, n_chunks, nrt, nct,
-                          total_rows)
+            budget = PREFIX_VMEM_BUDGET if sparse_tail else PLANES_VMEM_BUDGET
+            if vmem <= budget:
+                chosen = (d, m, nr, nc, prg, pcb, r_stride, n_chunks, nrt,
+                          nct, total_rows, cg)
                 break
         if chosen is None:
             plans.append(fallback_plan())
             continue
-        d, m, nr, nc, prg, r_stride, n_chunks, nrt, nct, total_rows = chosen
+        (d, m, nr, nc, prg, pcb, r_stride, n_chunks, nrt, nct, total_rows,
+         cg) = chosen
         plans.append(
             ScalePlan(
                 scale=scale, step=k, eval_step=d, subsample=m, offset=offset,
@@ -337,9 +382,11 @@ def build_dense_plan(
                 prg=prg, chunk_stride=r_stride, n_chunks=n_chunks,
                 n_row_tiles=nrt, n_col_tiles=nct, total_rows=total_rows,
                 tables=_build_scale_tables(forest, scale, d, r0, c0, prg,
-                                           r_stride, angle_idx),
+                                           pcb, r_stride, angle_idx),
                 fallback=False, r0=r0, c0=c0, i_lo=i_lo, j_lo=j_lo,
-                nr_full=nr_full, nc_full=nc_full,
+                nr_full=nr_full, nc_full=nc_full, col_groups=cg,
+                prefix_trees=PREFIX_TREES if sparse_tail else 0,
+                plane_cols=pcb,
             )
         )
     if rws:
@@ -354,18 +401,43 @@ def build_dense_plan(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _col_perm(d: int, pcb: int, cols: int, width: int) -> np.ndarray:
+    """Source image column for each plane column o = b*pcb + v (reads
+    img[:, v*d + b]); -1 for padding columns (o >= d*pcb or source >= cols)."""
+    o = np.arange(width, dtype=np.int64)
+    b, v = o // pcb, o % pcb
+    src = v * d + b
+    src[(o >= d * pcb) | (src >= cols)] = -1
+    return src.astype(np.int32)
+
+
 def _make_planes(img_f32: jax.Array, sp: ScalePlan) -> jax.Array:
-    """[rows, cols] f32 -> chunked decimated planes [n_chunks*R, 256]."""
+    """[rows, cols] f32 -> chunked decimated planes [n_chunks*R, 256].
+
+    Split layout (see _build_scale_tables.pack): ROW phases via a cheap
+    lane-contiguous block transpose, COLUMN phases via one one-hot matmul
+    on the MXU — exact in bf16 (pixels are integers <= 255, the one-hot
+    has a single unit term per output) and ~10x cheaper than the
+    lane-granularity k*k shuffle it replaces."""
     d = sp.eval_step
-    pc_base = sp.n_chunks * LANE + LANE  # base plane cols before chunking
-    h = sp.prg * d
-    w = pc_base * d
+    prg = sp.prg
+    h = prg * d
     rows = min(img_f32.shape[0], h)
-    cols = min(img_f32.shape[1], w)
-    padded = jnp.zeros((h, w), jnp.float32)
-    padded = jax.lax.dynamic_update_slice(padded, img_f32[:rows, :cols], (0, 0))
-    planes = padded.reshape(sp.prg, d, pc_base, d).transpose(1, 3, 0, 2)
-    planes = planes.reshape(sp.chunk_stride, pc_base)
+    cols = img_f32.shape[1]
+    padded = jnp.zeros((h, cols), jnp.float32)
+    padded = jax.lax.dynamic_update_slice(padded, img_f32[:rows, :], (0, 0))
+    # row decimation: [prg, d, C] -> [d, prg, C] (last dim contiguous)
+    rowdec = padded.reshape(prg, d, cols).transpose(1, 0, 2)
+    rowdec = rowdec.reshape(d * prg, cols)
+    # column decimation as a permutation matmul on the MXU
+    width = sp.n_chunks * LANE + LANE  # covers every chunk's 256-col read
+    perm = jnp.asarray(_col_perm(d, sp.plane_cols, cols, width))
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (cols, width), 0) == perm[None, :]
+    ).astype(jnp.bfloat16)
+    planes = jnp.dot(rowdec.astype(jnp.bfloat16), onehot,
+                     preferred_element_type=jnp.float32)
     chunks = [
         planes[:, c * LANE : c * LANE + CHUNK] for c in range(sp.n_chunks)
     ]
@@ -378,12 +450,19 @@ def _make_planes(img_f32: jax.Array, sp: ScalePlan) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_body(t_num: int, depth: int, thresh_last: float):
+def _kernel_body(t_num: int, depth: int, thresh_last: float,
+                 col_groups: int = 1):
     """Shared kernel builder; bucketed geometry => few distinct compilations.
 
-    SMEM inputs: meta [5] = (nr, nc, chunk_stride R, row-tile offset,
-    last real row-tile index); tables [T*(2^depth-1)*2] packed nodes;
-    preds [T*2^depth]; thresh [T].
+    SMEM inputs: meta [7] = (nr, nc, chunk_stride R, row-tile offset,
+    last real row-tile index, tree limit, last real col-tile index);
+    tables [T*(2^depth-1)*2] packed nodes; preds [T*2^depth]; thresh [T].
+    A tree limit below the forest size selects prefix mode: windows still
+    alive after `limit` trees get PREFIX_MARK instead of a final score
+    (the host finishes them). Grid dims are BUCKETED so many scales share
+    one compiled kernel: pad grid positions clamp onto the last real tile
+    (keeping reads in-bounds) and start fully-failed, so they cost one
+    loop-condition check and their output rows/cols are sliced away.
     VMEM: planes [n_chunks*R + tail (1024-bucketed), 256].
 
     The row-tile offset shards the window grid: a device evaluating the
@@ -400,30 +479,51 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
     """
     chunk_trees = 4 if t_num % 4 == 0 else (2 if t_num % 2 == 0 else 1)
 
+    cgl = col_groups * LANE  # tile width in window columns
+
     def kernel(meta_ref, tables_ref, preds_ref, thresh_ref, planes_ref, q_ref):
+        is_pad = (
+            (pl.program_id(0) + meta_ref[3] > meta_ref[4])
+            | (pl.program_id(1) > meta_ref[6])
+        )
         tr = jnp.minimum(pl.program_id(0) + meta_ref[3], meta_ref[4])
-        ct = pl.program_id(1)
-        row0 = tr * TILE_R + ct * meta_ref[2]
+        ct = jnp.minimum(pl.program_id(1), meta_ref[6])
+        row0 = tr * TILE_R + ct * (col_groups * meta_ref[2])
         nr = meta_ref[0]
         nc = meta_ref[1]
 
-        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 1)
-        row_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 0)
-        # fail mask carried as f32 (Mosaic can't carry i1 vectors in loops)
+        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, cgl), 1)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, cgl), 0)
+        # fail mask carried as f32 (Mosaic can't carry i1 vectors in loops);
+        # pad tiles start fully failed -> the while loop never runs
         pad_mask = (
-            ((lane_ix + ct * LANE) >= nc) | ((row_ix + tr * TILE_R) >= nr)
+            ((lane_ix + ct * cgl) >= nc) | ((row_ix + tr * TILE_R) >= nr)
+            | is_pad
         ).astype(jnp.float32)
 
         def read(packed):
+            # Column group g serves window columns [g*128, g*128+128) of the
+            # tile: same plane column remainder, chunk shifted by g — so the
+            # scalar address/roll-amount work is shared across groups and
+            # only the (vector) loads and rolls replicate.
             row = (packed >> 7) + row0
             vrem = packed & 127
+            srem = row & (SUBLANE - 1)
             # Mosaic requires 8-aligned dynamic sublane starts: read 2*TILE_R
             # rows from the aligned base, then roll the remainder away.
+            # chunk_stride is 8-aligned by the planner, so +g*R stays aligned.
             ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
-            wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
-            # slice the rows away before the lane roll (halves its width)
-            wide = pltpu.roll(wide, -(row & (SUBLANE - 1)), 0)[:TILE_R, :]
-            return pltpu.roll(wide, -vrem, 1)[:, :LANE]
+            parts = []
+            for g in range(col_groups):
+                # chunk_stride is 8-aligned by the planner; assert it to
+                # Mosaic (it cannot prove alignment through the SMEM load)
+                rag = pl.multiple_of(ra + g * meta_ref[2], SUBLANE)
+                wide = planes_ref[pl.ds(rag, 2 * TILE_R), :]
+                # slice the rows away before the lane roll (halves its width)
+                wide = pltpu.roll(wide, -srem, 0)[:TILE_R, :]
+                parts.append(pltpu.roll(wide, -vrem, 1)[:, :LANE])
+            return (jnp.concatenate(parts, axis=1) if col_groups > 1
+                    else parts[0])
 
         nleaf = 2 ** depth
 
@@ -460,17 +560,22 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float):
                 out, fail = one_tree(t + j, out, fail)
             return t + chunk_trees, out, fail
 
+        limit = meta_ref[5]
+
         def cond(carry):
             t, _, fail = carry
-            return (t < t_num) & (jnp.min(fail) < 1.0)
+            return (t < limit) & (jnp.min(fail) < 1.0)
 
-        out0 = jnp.zeros((TILE_R, LANE), jnp.float32)
+        out0 = jnp.zeros((TILE_R, cgl), jnp.float32)
         _, out, fail = jax.lax.while_loop(
             cond, tree_step, (jnp.int32(0), out0, pad_mask)
         )
-        q_ref[:] = jnp.where(
-            fail > 0.0, jnp.float32(-1.0), out - jnp.float32(thresh_last)
+        final = jnp.where(
+            limit < t_num,  # prefix mode: survivors escalate to the host
+            jnp.float32(PREFIX_MARK),
+            out - jnp.float32(thresh_last),
         )
+        q_ref[:] = jnp.where(fail > 0.0, jnp.float32(-1.0), final)
 
     return kernel
 
@@ -495,42 +600,77 @@ def scale_scores(
     [n_row_tiles*TILE_R, n_col_tiles*LANE] — slicing/subsampling is then
     the caller's job (tile_off may be a traced per-device value)."""
     planes = _make_planes(img_f32, sp)
-    kernel = _kernel_body(
-        forest.num_trees,
-        forest.depth,
-        float(forest.thresh[forest.num_trees - 1]),
-    )
     banded = n_row_tiles is not None
-    nrt = n_row_tiles if banded else sp.n_row_tiles
+    # Grid dims are bucketed (pad tiles die in one loop-condition check) so
+    # many scales share one compiled kernel specialization.
+    nrt = n_row_tiles if banded else _bucket_tiles(sp.n_row_tiles)
+    nct = sp.n_col_tiles if banded else _bucket_tiles(sp.n_col_tiles)
+    limit = sp.prefix_trees if sp.prefix_trees else forest.num_trees
     meta = jnp.concatenate([
         jnp.asarray([sp.nr, sp.nc, sp.chunk_stride], jnp.int32),
         jnp.asarray(tile_off, jnp.int32).reshape(1),
-        jnp.asarray([sp.n_row_tiles - 1], jnp.int32),
+        jnp.asarray([sp.n_row_tiles - 1, limit, sp.n_col_tiles - 1],
+                    jnp.int32),
     ])
-    q = pl.pallas_call(
-        kernel,
-        grid=(nrt, sp.n_col_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_R, LANE), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nrt * TILE_R, sp.n_col_tiles * LANE), jnp.float32
-        ),
-        interpret=interpret,
-    )(meta, tables, preds, thresh, planes)
+    call = _scale_call(
+        nrt, nct, sp.total_rows, sp.col_groups,
+        forest.num_trees, forest.depth,
+        float(forest.thresh[forest.num_trees - 1]), interpret,
+    )
+    q = call(meta, tables, preds, thresh, planes)
     if banded:
         return q
     q = q[: sp.nr, : sp.nc]
     if sp.subsample > 1:
         q = q[:: sp.subsample, :: sp.subsample]
     return q
+
+
+def _bucket_tiles(n: int) -> int:
+    """Round a grid dimension up so many scales share one compiled kernel
+    (pad tiles cost one loop-condition check each)."""
+    if n <= 4:
+        return n
+    if n <= 16:
+        return _round_up(n, 4)
+    return _round_up(n, 8)
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_call(nrt, nct, total_rows, cg, t_num, depth, thresh_last,
+                interpret):
+    """Shared, geometry-keyed scale evaluator.
+
+    In interpret mode the returned callable is jitted: per-instance jits
+    would recompile identical small modules for every FaceCascade/config a
+    test builds, while jitting ALL of a plan's kernels into one XLA:CPU
+    module crashes the compiler (observed segfault) and fully-eager
+    interpretation is ~50x slower. On TPU the callable stays bare so the
+    caller's single whole-pyramid jit keeps per-frame dispatch collapsed."""
+    kernel = _kernel_body(t_num, depth, thresh_last, cg)
+    cgl = cg * LANE
+
+    def call(meta, tables, preds, thresh, planes):
+        return pl.pallas_call(
+            kernel,
+            grid=(nrt, nct),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_R, cgl), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (nrt * TILE_R, nct * cgl), jnp.float32
+            ),
+            interpret=interpret,
+        )(meta, tables, preds, thresh, planes)
+
+    return jax.jit(call) if interpret else call
 
 
 def pyramid_scores(

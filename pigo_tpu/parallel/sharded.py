@@ -69,7 +69,8 @@ class ShardedFaceCascade:
         plan, _, dense_fn_full, d2g = fc._dense_plan(
             rows, cols, min_size, max_size, shift, scale_f
         )
-        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f, 0)
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f,
+                   0, fc.prefix)
         _, _, tables_dev = fc._batch_fns[raw_key]
         dense_scales = [sp for sp in plan.scales if not sp.fallback]
         n, axis, cap = self.n, self.axis, self.cap
@@ -150,15 +151,15 @@ class ShardedFaceCascade:
             return np.zeros((0, 4), dtype=np.float64)
         fc = self.face
         img2d = jnp.asarray(pixels, jnp.uint8).reshape(rows, cols)
+        host_pix = np.asarray(
+            pixels if isinstance(pixels, np.ndarray) else img2d, np.uint8
+        ).reshape(rows, cols)
         if d2g.size:
             fut = run(img2d)
         else:
             fut = None
         fb = None
         if plan.has_fallback:
-            host_pix = (
-                pixels if isinstance(pixels, np.ndarray) else np.asarray(img2d)
-            )
             fb = fc._fallback_hits(host_pix, plan, rows, cols, min_size,
                                    max_size, shift_factor, scale_factor)
         if fut is None:
@@ -190,6 +191,8 @@ class ShardedFaceCascade:
                 ],
                 axis=1,
             )
+            # exact host finish for tree-prefix survivors
+            dets = fc._resolve_marked(dets, host_pix, plan.angle_idx / 32.0)
         if fb is not None and fb.shape[0]:
             dets = np.concatenate([dets, fb])
             order = np.argsort(dets[:, 2], kind="stable")
@@ -210,7 +213,8 @@ class ShardedFaceCascade:
         plan, _, dense_fn_full, d2g = fc._dense_plan(
             rows, cols, min_size, max_size, shift, scale_f
         )
-        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f, 0)
+        raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f,
+                   0, fc.prefix)
         dense_sparse, _, tables_dev = fc._batch_fns[raw_key]
         axis = self.axis
 
@@ -266,9 +270,9 @@ class ShardedFaceCascade:
             packed_all = np.zeros((b, 1 + 2 * cap), np.float32)
             packed_all[:, 1 : 1 + cap] = -1.0
             total = 0
+        host_frames = np.asarray(frames)  # one fetch for the whole batch
         fbs = None
         if plan.has_fallback:
-            host_frames = np.asarray(frames)
             fbs = [
                 fc._fallback_hits(host_frames[i], plan, rows, cols,
                                   min_size, max_size, shift_factor,
@@ -278,7 +282,7 @@ class ShardedFaceCascade:
         dets = [
             fc._decode_hits(
                 packed_all[i], fbs[i] if fbs is not None else None, plan,
-                d2g, dense_fn_full, frames[i],
+                d2g, dense_fn_full, frames[i], host_frames[i],
             )
             for i in range(b)
         ]

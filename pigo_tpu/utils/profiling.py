@@ -115,8 +115,12 @@ class FpsMeter:
         self._times: deque[float] = deque(maxlen=window)
 
     def tick(self) -> float:
-        now = time.perf_counter()
-        self._times.append(now)
+        self._times.append(time.perf_counter())
+        return self.value
+
+    @property
+    def value(self) -> float:
+        """Current rolling frames/sec (without registering a frame)."""
         if len(self._times) < 2:
             return 0.0
         span = self._times[-1] - self._times[0]

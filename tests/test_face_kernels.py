@@ -126,24 +126,28 @@ def test_rotated_classifier_quirks():
 
 
 def test_tail_cutoff_boundary_routing(face_forest):
-    """A scale with EXACTLY TAIL_MIN_WINDOWS windows stays on the dense
-    Pallas path (the cutoff is strict-less-than); one window fewer routes
-    to the tail engine — and both produce oracle-exact detections."""
+    """A scale with EXACTLY TAIL_MIN_WINDOWS windows is fully evaluated on
+    the dense Pallas path (the cutoff is strict-less-than); one window
+    fewer switches to tree-prefix mode (PREFIX_TREES trees on device,
+    survivors finished on host) — and both produce oracle-exact
+    detections."""
     from pigo_tpu.ops import face_pallas as fp
 
     rng = np.random.default_rng(7)
     # scale 20 at shift 0.1: step 2, offset 11
     # rows=212 -> nr=96; cols=148 -> nc=64 -> 96*64 = 6144 = TAIL_MIN_WINDOWS
     assert fp.TAIL_MIN_WINDOWS == 6144
-    for cols, want_fallback in ((148, False), (146, True)):
+    for cols, want_prefix in ((148, False), (146, True)):
         rows = 212
         img = rng.integers(0, 256, (rows, cols), dtype=np.uint8)
         plan = fp.build_dense_plan(face_forest, rows, cols, 20, 20, 0.1, 1.1)
         assert len(plan.scales) == 1
-        nwin = plan.scales[0].nr_real * plan.scales[0].nc_real
-        assert (nwin == 6144) == (not want_fallback)
-        assert plan.scales[0].fallback == want_fallback, (cols, nwin)
-        fc = FaceCascade(face_forest, backend="pallas")
+        sp = plan.scales[0]
+        nwin = sp.nr_real * sp.nc_real
+        assert (nwin == 6144) == (not want_prefix)
+        assert not sp.fallback
+        assert sp.prefix_trees == (fp.PREFIX_TREES if want_prefix else 0)
+        fc = FaceCascade(face_forest, backend="pallas", prefix=True)
         dets = fc.run_cascade(img, rows, cols, min_size=20, max_size=20,
                               shift_factor=0.1, scale_factor=1.1)
         oracle = oracle_run_cascade(
@@ -177,7 +181,8 @@ def test_sparse_hits_batch_exact(sample_gray, face_forest):
 
 def test_native_tail_matches_gather_tail(sample_gray, face_forest, monkeypatch):
     """Tail scales produce identical hits through the host C++ engine and
-    the gather kernel (PIGO_TPU_NO_NATIVE toggles the route)."""
+    the gather kernel (PIGO_TPU_NO_NATIVE toggles the route; prefix mode
+    off, as in interpret-mode defaults)."""
     rows, cols = sample_gray.shape
     cfg = dict(min_size=100, max_size=300, shift_factor=0.2,
                scale_factor=1.25)
@@ -333,3 +338,55 @@ def test_native_run_band_matches_oracle(face_forest, sample_gray):
     assert np.array_equal(got[:, :3], want[:, :3])
     assert np.array_equal(got[:, 3].astype(np.float32),
                           want[:, 3].astype(np.float32))
+
+
+@pytest.mark.parametrize("no_native", [False, True])
+def test_prefix_mode_oracle_exact(sample_gray, face_forest, monkeypatch,
+                                  no_native):
+    """Tree-prefix tail scales (device evaluates PREFIX_TREES trees, host
+    finishes the marked survivors — native classify_batch or the NO_NATIVE
+    oracle) are oracle-exact end to end, and the full score read
+    (window_scores) resolves the marks too. Small opt-in config: interpret
+    mode cannot afford full prefix pyramids, which is why FaceCascade
+    defaults prefix off on CPU."""
+    from PIL import Image
+
+    from pigo_tpu.ops import face_pallas as fp
+
+    if no_native:
+        monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
+    # a face at scale ~33 so the prefix scales have real survivors
+    face = np.asarray(
+        Image.fromarray(sample_gray).resize((30, 37)), np.uint8)
+    frame = np.full((96, 88), 190, np.uint8)
+    frame[30:67, 28:58] = face
+    rows, cols = frame.shape
+    cfg = dict(min_size=20, max_size=60, shift_factor=0.1, scale_factor=1.3)
+    fc = FaceCascade(face_forest, backend="pallas", prefix=True)
+    plan, _, dense_fn_full, d2g = fc._dense_plan(
+        rows, cols, cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+        cfg["scale_factor"])
+    assert [sp.scale for sp in plan.scales if sp.prefix_trees], \
+        "config should produce tree-prefix scales"
+    dets = fc.run_cascade(frame, rows, cols, **cfg)
+    oracle = oracle_run_cascade(
+        face_forest, frame.ravel(), rows, cols, cols,
+        cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+        cfg["scale_factor"])
+    assert dets.shape == oracle.shape and dets.shape[0] >= 1
+    assert np.array_equal(dets[:, :3], oracle[:, :3])
+    assert np.array_equal(dets[:, 3].astype(np.float32),
+                          oracle[:, 3].astype(np.float32))
+    assert not (dets[:, 3] >= fp.PREFIX_MARK / 2).any()
+    # a q>0 hit AT a prefix scale survived the 32-tree device pass by
+    # definition -> the host finish was genuinely exercised
+    prefix_scales = {sp.scale for sp in plan.scales if sp.prefix_trees}
+    assert any(int(s_) in prefix_scales for s_ in dets[:, 2]), \
+        "no detection on a prefix scale; survivors untested"
+    coords, q = fc.window_scores(frame, rows, cols, cols,
+                                 cfg["min_size"], cfg["max_size"],
+                                 cfg["shift_factor"], cfg["scale_factor"])
+    assert not (q >= fp.PREFIX_MARK / 2).any()
+    hit = q > 0
+    assert np.array_equal(coords[hit], oracle[:, :3].astype(coords.dtype))

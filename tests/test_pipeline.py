@@ -230,25 +230,27 @@ def test_stream_edge_configs():
 
 
 def test_detect_stream_device_face_overflow():
-    """More faces than the device program's fixed slots -> transparent
-    fallback to the exact host pipeline."""
+    """More faces than the device program's face slots -> transparent
+    fallback to the exact host pipeline (slots shrunk via device_caps to
+    keep the test fast; the default is 8 slots, see
+    test_detect_stream_device_crowd_no_fallback)."""
     import jax
-    from pigo_tpu.detector import (CascadeParams, DEV_MAX_FACES,
-                                   FaceDetector)
+    from pigo_tpu.detector import CascadeParams, FaceDetector
     from pigo_tpu.io.image import get_image, rgb_to_grayscale
     from pigo_tpu.cascade.assets import asset_path
 
     img = get_image(asset_path("testdata", "sample.jpg"))
     rows, cols = img.shape[0], img.shape[1]
     gray = rgb_to_grayscale(img).reshape(rows, cols)
-    many = np.concatenate([gray] * (DEV_MAX_FACES + 1), axis=1)
-    det = FaceDetector()
+    max_faces = 2
+    many = np.concatenate([gray] * (max_faces + 1), axis=1)
+    det = FaceDetector(device_caps=(256, 64, max_faces))
     params = CascadeParams(100, 400, 0.2, 1.2)
     key = jax.random.PRNGKey(1)
     got = list(det.detect_stream_device([many], params, key=key))[0]
     want = det.detect(many, rows, many.shape[1], params,
                       key=jax.random.fold_in(key, 0))
-    assert len(got) == len(want) == DEV_MAX_FACES + 1
+    assert len(got) == len(want) == max_faces + 1
     # the fallback reruns detect() with the frame's full fold_in key, so
     # eyes/landmarks (not just faces) reproduce exactly
     assert [r.to_json_dict() for r in got] == \
@@ -306,3 +308,71 @@ def test_detect_stream_pupils_only_matches_detect():
                                         depth=2))
     assert [r.to_json_dict() for r in dev[0]] == \
            [r.to_json_dict() for r in streamed[0]]
+
+
+def test_detect_stream_device_crowd_no_fallback(monkeypatch):
+    """A 4-face frame stays on the one-round-trip device pipeline with the
+    default capacities (the reference has no face cap, core/pigo.go:246-248;
+    round 1's 2-slot device program silently re-ran the host path)."""
+    import jax
+    import pigo_tpu.detector as det_mod
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    assert det_mod.DEV_MAX_FACES >= 8
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    four = np.concatenate([np.concatenate([gray, gray], axis=1)] * 1
+                          + [np.concatenate([gray, gray], axis=1)], axis=0)
+    # 2x2 grid of portraits = 4 faces
+    assert four.shape == (2 * rows, 2 * cols)
+    det = FaceDetector()
+    # fail loudly if the device path falls back to the host pipeline
+    def no_fallback(*a, **kw):
+        raise AssertionError("device pipeline fell back to host detect()")
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(2)
+    want = det.detect(four, 2 * rows, 2 * cols, params,
+                      key=jax.random.fold_in(key, 0))
+    assert len(want) == 4
+    monkeypatch.setattr(det, "detect", no_fallback)
+    got = list(det.detect_stream_device([four], params, key=key))[0]
+    assert len(got) == 4
+    assert [(r.face.row, r.face.col, r.face.scale) for r in got] == \
+           [(r.face.row, r.face.col, r.face.scale) for r in want]
+    for g in got:
+        assert len(g.eyes) == 2 and len(g.landmarks) == 15
+
+
+def test_detect_accepts_image_params(detector, sample_gray):
+    """ImageParams (reference core/pigo.go:29-34) is a first-class input."""
+    from pigo_tpu.detector import ImageParams
+
+    rows, cols = sample_gray.shape
+    ip = ImageParams(pixels=sample_gray.ravel(), rows=rows, cols=cols,
+                     dim=cols)
+    via_params = detector.detect_faces(ip, params=CFG, iou_threshold=0.1)
+    direct = detector.detect_faces(sample_gray, rows, cols, CFG,
+                                   iou_threshold=0.1)
+    assert [(f.row, f.col, f.scale, f.q) for f in via_params] == \
+           [(f.row, f.col, f.scale, f.q) for f in direct]
+    import jax
+    full = detector.detect(ip, params=CFG, perturbs=15,
+                           key=jax.random.PRNGKey(1))
+    want = detector.detect(sample_gray, rows, cols, CFG, perturbs=15,
+                           key=jax.random.PRNGKey(1))
+    assert [r.to_json_dict() for r in full] == \
+           [r.to_json_dict() for r in want]
+
+
+def test_init_distributed_single_host():
+    """Multi-host init degrades to a clean no-op on a single host and
+    reports the global device count (SURVEY.md section 2.4's
+    jax.distributed.initialize equivalent; on a real pod each host calls it
+    before building meshes)."""
+    import jax
+    from pigo_tpu.parallel import init_distributed
+
+    assert init_distributed() == len(jax.devices())
