@@ -224,14 +224,18 @@ def _attach_post(res, eyes, lmk, i, npts, perturbs):
 
 # Default capacities of the device-resident frame program (_device_detect):
 # dense hits + host-tail detections entering on-device clustering, and the
-# fixed face-slot count of the fused post stage. Frames exceeding these
-# route to the host path (the overflow flag in the output signals it) —
-# sized so crowd frames (up to 8 faces) stay on the one-round-trip device
-# pipeline (the reference has no detection cap, core/pigo.go:246-248);
-# override per detector via FaceDetector(device_caps=...).
+# fixed face-slot count of the fused post stage. The fused eyes+landmarks
+# work scales with the SLOT count (measured 640x480 full pipeline: 61.9
+# ms/frame at 2 slots vs 227.5 at 8), so the default program stays small
+# and frames that overflow it ESCALATE to a second, larger device program
+# (DEV_CAPS_ESCALATED) — one extra round trip for crowd frames, never a
+# host fallback until even 16 faces overflow (the reference has no
+# detection cap, core/pigo.go:246-248). Override per detector via
+# FaceDetector(device_caps=...).
 DEV_DENSE_CAP = 256
 DEV_TAIL_CAP = 64
-DEV_MAX_FACES = 8
+DEV_MAX_FACES = 2
+DEV_CAPS_ESCALATED = (1024, 128, 16)
 
 
 def _device_detect_impl(
@@ -555,13 +559,14 @@ class FaceDetector:
             yield out
 
     def _dispatch_frame_device(self, frame, params, angle, iou_threshold,
-                               perturbs, key):
+                               perturbs, key, caps=None):
         # `key` is the frame's full fold_in(key, i); the device program uses
         # the second split half (matching detect()'s key, k_post = split(key))
         # and the UN-split key rides the ticket so an overflow fallback to
         # detect() reproduces the exact same perturbation uniforms.
         _, k_post = jax.random.split(key)
         fc = self.face
+        caps = self.device_caps if caps is None else caps
         rows, cols = frame.shape[-2], frame.shape[-1]
         cfg = (params.min_size, params.max_size, params.shift_factor,
                params.scale_factor)
@@ -581,7 +586,7 @@ class FaceDetector:
             empty = np.zeros(1 + 2 * cap, np.float32)
             empty[1 : 1 + cap] = -1.0
             packed = jnp.asarray(empty)
-        dense_cap, tail_cap, max_faces = self.device_caps
+        dense_cap, tail_cap, max_faces = caps
         tail_np = np.zeros((tail_cap, 4), np.float32)
         tail_n = 0
         if plan.has_fallback:
@@ -619,15 +624,24 @@ class FaceDetector:
         except AttributeError:
             pass
         return (fut, frame, params, angle, iou_threshold, perturbs, key,
-                len(sched))
+                len(sched), caps)
 
     def _collect_frame_device(self, ticket) -> list[FaceResult]:
         (fut, frame, params, angle, iou_threshold, perturbs, key,
-         npts) = ticket
+         npts, caps) = ticket
         out = np.asarray(fut)  # the frame's single round trip
-        mf = self.device_caps[2]
+        mf = caps[2]
         overflow = out[0] > 0.0
-        if overflow:  # rare: capacities exceeded -> exact host pipeline
+        if overflow:
+            # capacities exceeded. Crowd frames first ESCALATE to a larger
+            # device program (one extra round trip, still device-resident);
+            # only an overflow of THAT falls back to the exact host path.
+            bigger = tuple(max(a, b) for a, b in
+                           zip(DEV_CAPS_ESCALATED, caps))
+            if bigger != tuple(caps):
+                return self._collect_frame_device(self._dispatch_frame_device(
+                    frame, params, angle, iou_threshold, perturbs, key,
+                    caps=bigger))
             rows, cols = frame.shape[-2], frame.shape[-1]
             return self.detect(frame, rows, cols, params, angle,
                                iou_threshold, perturbs, key)

@@ -311,16 +311,17 @@ def test_detect_stream_pupils_only_matches_detect():
 
 
 def test_detect_stream_device_crowd_no_fallback(monkeypatch):
-    """A 4-face frame stays on the one-round-trip device pipeline with the
-    default capacities (the reference has no face cap, core/pigo.go:246-248;
-    round 1's 2-slot device program silently re-ran the host path)."""
+    """A 4-face frame stays on the DEVICE pipeline: it overflows the fast
+    2-slot program and escalates to the larger device program
+    (DEV_CAPS_ESCALATED) instead of re-running the host path (the
+    reference has no face cap, core/pigo.go:246-248)."""
     import jax
     import pigo_tpu.detector as det_mod
     from pigo_tpu.detector import CascadeParams, FaceDetector
     from pigo_tpu.io.image import get_image, rgb_to_grayscale
     from pigo_tpu.cascade.assets import asset_path
 
-    assert det_mod.DEV_MAX_FACES >= 8
+    assert det_mod.DEV_CAPS_ESCALATED[2] >= 8
     img = get_image(asset_path("testdata", "sample.jpg"))
     rows, cols = img.shape[0], img.shape[1]
     gray = rgb_to_grayscale(img).reshape(rows, cols)
