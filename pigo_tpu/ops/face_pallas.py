@@ -90,6 +90,10 @@ TAIL_MIN_WINDOWS = 6144
 # whole tail scales host-routed in round 1.
 PREFIX_TREES = 32
 PREFIX_MARK = 1e30
+# Scales below this window count stay on the host tail engine even in
+# prefix mode: their per-kernel launch + planes cost exceeds the host's
+# cost for a few hundred windows. 0 = prefix everything.
+PREFIX_MIN_WINDOWS = 0
 # Prefix scales must also have a COMPACT plane layout: at large scales the
 # k*k decimation blows up (few windows, huge stride), so planes above this
 # budget route the scale to the host wholesale instead (it has only a
@@ -322,7 +326,9 @@ def build_dense_plan(
         c0 = offset + j_lo * k
 
         sparse_tail = nr_int * nc_int < TAIL_MIN_WINDOWS
-        if sparse_tail and not prefix:
+        if sparse_tail and (
+            not prefix or nr_int * nc_int < PREFIX_MIN_WINDOWS
+        ):
             plans.append(fallback_plan())
             continue
 
