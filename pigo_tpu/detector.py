@@ -198,6 +198,121 @@ _fused_post = jax.jit(
     ),
 )
 
+
+# Landmark anchor scale is 3x the refined eye distance (core/flploc.go:41);
+# measured on real faces dist ~= 0.36 * face scale, so anchors stay under
+# ~1.1x the face scale. The patch-walk default plans for 1.3x with the exact
+# per-probe overflow check as the safety net (ops/pupil_patch.py).
+ASCALE_BOUND_FACTOR = 1.3
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _use_patch_post() -> bool:
+    """The MXU patch walk replaces the gather walk on real accelerators;
+    on the CPU test backend its dense one-hot matmuls are far slower than
+    gathers, so it stays opt-in there (PIGO_TPU_POST_PATCH=1/0 overrides)."""
+    import os
+
+    env = os.environ.get("PIGO_TPU_POST_PATCH")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
+def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom):
+    """Static per-stage patch sizes for the MXU patch walk, from a face
+    scale bound known at dispatch. Returns ((pupil sizes), (lmk sizes))."""
+    from pigo_tpu.ops import pupil_patch
+
+    ps, pt, pd, pm = pupil_geom
+    ls, lt, ld, lm = lmk_geom
+    esize = pupil_patch.stage_patch_sizes(
+        0.25 * float(max_face_scale), stages=ps, scale_mult=pm,
+        nrows=rows, ncols=cols)
+    lsize = pupil_patch.stage_patch_sizes(
+        ASCALE_BOUND_FACTOR * float(max_face_scale), stages=ls,
+        scale_mult=lm, nrows=rows, ncols=cols)
+    return esize, lsize
+
+
+def _fused_post_patch_impl(
+    key, erow, ecol, escale, pixels,
+    pcodes, ppreds, lcodes, lpreds,
+    *, f, perturbs, rows, cols,
+    pupil_geom, lmk_geom, lmk_cids, lmk_flips, patch_cfg, pallas=False,
+):
+    """Upright eyes + landmarks via the MXU patch walk (ops/pupil_patch.py;
+    pallas=True runs the fused stage kernel, ops/pupil_pallas.py) — one XLA
+    program, bit-exact vs _fused_post_impl when no group overflows its
+    patches. Returns [3, 2F + 15F + 1] with the any-group overflow flag
+    broadcast into the last column; the caller must re-run overflowed
+    frames through the gather path."""
+    from pigo_tpu.ops import pupil_patch
+
+    walk = (pupil_patch._ensemble_pallas_impl if pallas
+            else pupil_patch._ensemble_patch_impl)
+    k_eyes, k_lmk = jax.random.split(key)
+    npts = lmk_cids.shape[0] // f if f else 0
+    img2d = pixels.reshape(rows, cols)
+    esizes, lsizes = patch_cfg
+
+    u_eyes = jax.random.uniform(k_eyes, (2 * f, perturbs, 3), jnp.float32)
+    sg, tg, dg, mg = pupil_geom
+    eyes, e_ovf = walk(
+        pcodes, ppreds, jnp.zeros(2 * f, jnp.int32), erow, ecol, escale,
+        jnp.zeros(2 * f, bool), u_eyes, img2d,
+        stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols,
+        scale_mult=mg, patch_sizes=esizes,
+    )  # [3, 2F]
+
+    # landmark anchors from the voted pupils (same math as _fused_post_impl)
+    ler, lec = jnp.trunc(eyes[0, 0::2]), jnp.trunc(eyes[1, 0::2])
+    rer, rec = jnp.trunc(eyes[0, 1::2]), jnp.trunc(eyes[1, 1::2])
+    dist = jnp.sqrt((ler - rer) ** 2 + (lec - rec) ** 2)
+    arow = jnp.trunc((ler + rer) / 2.0 + 0.25 * dist)
+    acol = jnp.trunc((lec + rec) / 2.0 + 0.15 * dist)
+    ascale = 3.0 * dist
+    u_lmk = jax.random.uniform(k_lmk, (f * npts, perturbs, 3), jnp.float32)
+    sg, tg, dg, mg = lmk_geom
+    lmk, l_ovf = walk(
+        lcodes, lpreds, lmk_cids,
+        jnp.repeat(arow, npts), jnp.repeat(acol, npts),
+        jnp.repeat(ascale, npts), lmk_flips, u_lmk, img2d,
+        stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols,
+        scale_mult=mg, patch_sizes=lsizes,
+    )  # [3, F*npts]
+    ovf = (jnp.any(e_ovf) | jnp.any(l_ovf)).astype(jnp.float32)
+    # one fetchable array: [3, 2F + 15F + 1], overflow in the last column
+    return jnp.concatenate(
+        [eyes, lmk, jnp.broadcast_to(ovf, (3, 1))], axis=1
+    )
+
+
+_fused_post_patch = jax.jit(
+    _fused_post_patch_impl,
+    static_argnames=(
+        "f", "perturbs", "rows", "cols", "pupil_geom", "lmk_geom",
+        "patch_cfg", "pallas",
+    ),
+)
+
+
+def _patch_post_pallas() -> bool:
+    """Whether the post stage runs the fused Pallas stage kernels
+    (ops/pupil_pallas.py) instead of the jnp patch walk. Default OFF: on
+    v5e the XLA-scheduled jnp walk measures FASTER than the hand-fused
+    kernel (13.0 vs 22.1 ms at 2 face slots — XLA overlaps the one-hot
+    builds with the matmul-gathers better than the Mosaic schedule).
+    PIGO_TPU_POST_PALLAS=1 opts in, e.g. for hardware where HBM, not
+    issue scheduling, bounds the walk."""
+    import os
+
+    return os.environ.get("PIGO_TPU_POST_PALLAS") == "1"
+
+
 def _attach_post(res, eyes, lmk, i, npts, perturbs):
     """Attach face i's voted eyes and landmark points to a FaceResult,
     applying the reference validity gates (eye coords > 0 before landmarks
@@ -244,6 +359,7 @@ def _device_detect_impl(
     *, hit_cap, iou_threshold, perturbs, rows, cols, angle_idx, rotated,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips,
     dense_cap=DEV_DENSE_CAP, tail_cap=DEV_TAIL_CAP, max_faces=DEV_MAX_FACES,
+    patch_cfg=None, patch_pallas=False,
 ):
     """The WHOLE post-kernel frame pipeline as ONE XLA program.
 
@@ -291,16 +407,32 @@ def _device_detect_impl(
         faces[:, 0], faces[:, 1],
         jnp.where(eyed, faces[:, 2], jnp.float32(100.0)),  # safe pad anchor
     )
-    post = _fused_post_impl(
-        key, erow, ecol, escale,
-        pixels, pcodes, ppreds, lcodes, lpreds,
-        f=max_faces, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
-        angle_idx=angle_idx, rotated=rotated,
-        pupil_geom=pupil_geom, lmk_geom=lmk_geom,
-        lmk_cids=lmk_cids, lmk_flips=lmk_flips,
-    )  # [3, 2F + F*npts]
+    povf = jnp.float32(0.0)
+    if patch_cfg is not None and not rotated:
+        # MXU patch walk; a patch overflow is flagged SEPARATELY from the
+        # capacity overflow so the ladder can grow patches without paying
+        # for more face slots (and vice versa)
+        post_full = _fused_post_patch_impl(
+            key, erow, ecol, escale,
+            pixels, pcodes, ppreds, lcodes, lpreds,
+            f=max_faces, perturbs=perturbs, rows=rows, cols=cols,
+            pupil_geom=pupil_geom, lmk_geom=lmk_geom,
+            lmk_cids=lmk_cids, lmk_flips=lmk_flips, patch_cfg=patch_cfg,
+            pallas=patch_pallas,
+        )
+        post = post_full[:, :-1]
+        povf = post_full[0, -1]
+    else:
+        post = _fused_post_impl(
+            key, erow, ecol, escale,
+            pixels, pcodes, ppreds, lcodes, lpreds,
+            f=max_faces, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
+            angle_idx=angle_idx, rotated=rotated,
+            pupil_geom=pupil_geom, lmk_geom=lmk_geom,
+            lmk_cids=lmk_cids, lmk_flips=lmk_flips,
+        )  # [3, 2F + F*npts]
     flags = jnp.stack([
-        overflow.astype(jnp.float32), n_faces.astype(jnp.float32),
+        overflow.astype(jnp.float32), povf, n_faces.astype(jnp.float32),
     ])
     return jnp.concatenate([
         flags, faces.reshape(-1), fvalid.astype(jnp.float32),
@@ -313,7 +445,7 @@ _device_detect = jax.jit(
     static_argnames=(
         "hit_cap", "iou_threshold", "perturbs", "rows", "cols", "angle_idx",
         "rotated", "pupil_geom", "lmk_geom", "dense_cap", "tail_cap",
-        "max_faces",
+        "max_faces", "patch_cfg", "patch_pallas",
     ),
 )
 
@@ -337,6 +469,7 @@ class FaceDetector:
             device_caps if device_caps is not None
             else (DEV_DENSE_CAP, DEV_TAIL_CAP, DEV_MAX_FACES)
         )
+        self._recent_face_scale = 0  # adaptive patch-size bound (streams)
         self.face = face if face is not None else FaceCascade()
         self.pupil = (
             pupil
@@ -392,9 +525,13 @@ class FaceDetector:
         cmd/pigo/main.go:422-564)."""
         gray, rows, cols, dim = _coerce_image(gray, rows, cols)
         if dim is not None and dim != cols:
-            raise ValueError(
-                "detect() supports ImageParams with dim == cols only; use "
-                "detect_faces for strided frames")
+            # de-stride once (exact — see models/face.destride); the whole
+            # pipeline then runs the contiguous frame
+            from pigo_tpu.models.face import destride
+
+            if dim < cols:
+                raise ValueError(f"dim {dim} < cols {cols}")
+            gray = destride(gray, rows, cols, dim)
         faces = self.detect_faces(gray, rows, cols, params, angle, iou_threshold)
         key = key if key is not None else jax.random.PRNGKey(0)
         results = [
@@ -559,7 +696,7 @@ class FaceDetector:
             yield out
 
     def _dispatch_frame_device(self, frame, params, angle, iou_threshold,
-                               perturbs, key, caps=None):
+                               perturbs, key, caps=None, face_bound=None):
         # `key` is the frame's full fold_in(key, i); the device program uses
         # the second split half (matching detect()'s key, k_post = split(key))
         # and the UN-split key rides the ticket so an overflow fallback to
@@ -605,6 +742,29 @@ class FaceDetector:
                             max_faces)
         rotated = angle > 0.0
         angle_idx = int(32.0 * min(angle, 1.0)) if rotated else 0
+        pupil_geom = (pg.stages, pg.trees, pg.depth, float(pg.scale_mult))
+        lmk_geom = (lg.stages, lg.trees, lg.depth, float(lg.scale_mult))
+        # exact face-scale ceiling: no cluster can exceed the largest
+        # pyramid scale, so patches planned for it can never overflow from
+        # face size alone (only from pathological pupil distances)
+        exact_bound = int(max((sp.scale for sp in plan.scales), default=0))
+        if face_bound is None:
+            # default program plans patches ADAPTIVELY: streams have
+            # temporal coherence, so plan for ~1.25x the largest face seen
+            # recently (rounded for retrace hysteresis). A face that grows
+            # past the plan escalates to an exact_bound re-dispatch WITHOUT
+            # paying for more face slots; the bound then tracks it.
+            recent = getattr(self, "_recent_face_scale", 0)
+            if recent:
+                face_bound = min(exact_bound,
+                                 _round_up(int(1.25 * recent), 64))
+            else:
+                face_bound = min(exact_bound, max(
+                    int(0.5 * min(rows, cols)), int(params.min_size)))
+        patch_cfg = None
+        if not rotated and _use_patch_post() and exact_bound > 0:
+            patch_cfg = _post_patch_cfg(rows, cols, face_bound, pupil_geom,
+                                        lmk_geom)
         fut = _device_detect(
             packed, jnp.asarray(tail_np), jnp.int32(tail_n),
             arrays["rows_w"], arrays["cols_w"], arrays["scale_w"],
@@ -614,38 +774,43 @@ class FaceDetector:
             hit_cap=cap, iou_threshold=float(iou_threshold),
             perturbs=perturbs, rows=rows, cols=cols,
             angle_idx=angle_idx, rotated=rotated,
-            pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
-            lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
+            pupil_geom=pupil_geom, lmk_geom=lmk_geom,
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
             dense_cap=dense_cap, tail_cap=tail_cap, max_faces=max_faces,
+            patch_cfg=patch_cfg, patch_pallas=_patch_post_pallas(),
         )
         try:
             fut.copy_to_host_async()
         except AttributeError:
             pass
         return (fut, frame, params, angle, iou_threshold, perturbs, key,
-                len(sched), caps)
+                len(sched), caps, face_bound, exact_bound)
 
     def _collect_frame_device(self, ticket) -> list[FaceResult]:
         (fut, frame, params, angle, iou_threshold, perturbs, key,
-         npts, caps) = ticket
+         npts, caps, face_bound, exact_bound) = ticket
         out = np.asarray(fut)  # the frame's single round trip
         mf = caps[2]
-        overflow = out[0] > 0.0
-        if overflow:
-            # capacities exceeded. Crowd frames first ESCALATE to a larger
-            # device program (one extra round trip, still device-resident);
-            # only an overflow of THAT falls back to the exact host path.
-            bigger = tuple(max(a, b) for a, b in
-                           zip(DEV_CAPS_ESCALATED, caps))
-            if bigger != tuple(caps):
+        cap_ovf = out[0] > 0.0
+        patch_ovf = out[1] > 0.0
+        if cap_ovf or patch_ovf:
+            # Escalate ONLY the overflowed dimension (one extra round trip,
+            # still device-resident): capacity overflows grow the caps,
+            # walk-patch overflows re-plan patches for the exact face-scale
+            # ceiling — growing one must not pay for the other (a 16-slot
+            # big-patch program is ~100x the post work of the default).
+            bigger = (tuple(max(a, b) for a, b in
+                            zip(DEV_CAPS_ESCALATED, caps))
+                      if cap_ovf else tuple(caps))
+            bound = exact_bound if patch_ovf else face_bound
+            if bigger != tuple(caps) or bound != face_bound:
                 return self._collect_frame_device(self._dispatch_frame_device(
                     frame, params, angle, iou_threshold, perturbs, key,
-                    caps=bigger))
+                    caps=bigger, face_bound=bound))
             rows, cols = frame.shape[-2], frame.shape[-1]
             return self.detect(frame, rows, cols, params, angle,
                                iou_threshold, perturbs, key)
-        off = 2
+        off = 3
         faces = out[off : off + 4 * mf].reshape(mf, 4)
         off += 4 * mf
         fvalid = out[off : off + mf] > 0.0
@@ -664,6 +829,8 @@ class FaceDetector:
             if eyed[i]:
                 _attach_post(res, eyes, lmk, i, npts, perturbs)
             results.append(res)
+        if results:  # feed the adaptive patch-size bound for later frames
+            self._recent_face_scale = max(r.face.scale for r in results)
         return results
 
     def _dispatch_post(self, eyed, gray, rows, cols, angle, perturbs, key):
@@ -703,7 +870,7 @@ class FaceDetector:
                 fut.copy_to_host_async()
             except AttributeError:
                 pass
-            return (fut, eyed, f, 0, perturbs)
+            return (fut, eyed, f, 0, perturbs, None)
         lg = self.landmarks.geometry
         sched = self.landmarks.point_schedule
         npts = len(sched)
@@ -711,7 +878,9 @@ class FaceDetector:
             np.array([self.landmarks._name_to_id[n] for n, _ in sched],
                      np.int32), f)
         lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
-        fut = _fused_post(
+        pupil_geom = (pg.stages, pg.trees, pg.depth, float(pg.scale_mult))
+        lmk_geom = (lg.stages, lg.trees, lg.depth, float(lg.scale_mult))
+        args = (
             key,
             jnp.asarray(erow, jnp.float32),
             jnp.asarray(ecol, jnp.float32),
@@ -719,26 +888,50 @@ class FaceDetector:
             jnp.asarray(gray, jnp.uint8).reshape(-1),
             self.pupil.codes, self.pupil.preds,
             self.landmarks.codes, self.landmarks.preds,
-            f=f, perturbs=perturbs, rows=rows, cols=cols, dim=cols,
-            angle_idx=angle_idx, rotated=rotated,
-            pupil_geom=(pg.stages, pg.trees, pg.depth, float(pg.scale_mult)),
-            lmk_geom=(lg.stages, lg.trees, lg.depth, float(lg.scale_mult)),
+        )
+        kw = dict(
+            f=f, perturbs=perturbs, rows=rows, cols=cols,
+            pupil_geom=pupil_geom, lmk_geom=lmk_geom,
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
         )
+        retry = None
+        if not rotated and _use_patch_post():
+            # fast path: MXU patch walk (ops/pupil_patch.py); patch sizes
+            # come from the largest qualifying face, and a group that
+            # outruns its patches retries on the exact gather path
+            patch_cfg = _post_patch_cfg(
+                rows, cols, max(r.face.scale for r in eyed),
+                pupil_geom, lmk_geom)
+            fut = _fused_post_patch(*args, patch_cfg=patch_cfg,
+                                    pallas=_patch_post_pallas(), **kw)
+            retry = (args, kw)
+        else:
+            fut = _fused_post(
+                *args, dim=cols, angle_idx=angle_idx, rotated=rotated, **kw)
         try:
             fut.copy_to_host_async()
         except AttributeError:
             pass
-        return (fut, eyed, f, npts, perturbs)
+        return (fut, eyed, f, npts, perturbs, retry)
 
     def _collect_post(self, ticket, out=None):
-        """Blocking half: fetch the [3, 2F + F*npts] result and attach.
+        """Blocking half: fetch the [3, 2F + F*npts (+1)] result and attach.
 
         `out` lets a caller supply the already-fetched array (from a batched
-        jax.device_get)."""
-        fut, eyed, f, npts, perturbs = ticket
+        jax.device_get). Patch-walk tickets carry an overflow column and the
+        gather-path retry args: a frame whose walk outran its patches is
+        re-run exactly (one extra round trip, rare)."""
+        fut, eyed, f, npts, perturbs, retry = ticket
         if out is None:
             out = np.asarray(fut)  # one round trip
+        if retry is not None:
+            if out[0, -1] > 0.0:  # patch overflow -> exact gather path
+                args, kw = retry
+                out = np.asarray(_fused_post(
+                    *args, dim=kw["cols"], angle_idx=0, rotated=False, **kw
+                ))
+            else:
+                out = out[:, :-1]
         eyes, lmk = out[:, : 2 * f], out[:, 2 * f :].reshape(3, f, npts)
         for i, res in enumerate(eyed):
             _attach_post(res, eyes, lmk, i, npts, perturbs)

@@ -27,6 +27,17 @@ from pigo_tpu.ops.windows import WindowPlan, build_window_plan
 from pigo_tpu.utils.config import ensure_compilation_cache
 
 
+def destride(pixels, rows: int, cols: int, dim: int):
+    """Flat [rows*dim] buffer with row stride dim -> contiguous
+    [rows*cols] (reference ImageParams.Dim, core/pigo.go:29-34). Exact for
+    every classifier: no window read can reach column >= cols."""
+    if isinstance(pixels, np.ndarray):
+        return np.ascontiguousarray(
+            pixels.reshape(rows, dim)[:, :cols]
+        ).reshape(-1)
+    return jnp.asarray(pixels).reshape(rows, dim)[:, :cols].reshape(-1)
+
+
 class FaceCascade:
     """Face-detection forest resident on device, with plan/kernel caching."""
 
@@ -176,8 +187,15 @@ class FaceCascade:
         # Tables/preds are passed as runtime ARGUMENTS (device-resident
         # handles), not closure constants: some runtimes re-ship executable
         # constants on every call, which would dominate frame latency.
+        # prefix scales ship only their first prefix_trees tables: the
+        # kernels never read past the tree limit, and the fused multi-scale
+        # prefix call (face_pallas.prefix_group_scores) requires the
+        # trimmed stride for its per-scale table offsets
         tables_dev = {
-            sp.scale: jnp.asarray(sp.tables.reshape(-1))
+            sp.scale: jnp.asarray(
+                (sp.tables[: sp.prefix_trees] if sp.prefix_trees
+                 else sp.tables).reshape(-1)
+            )
             for sp in plan.scales
             if not sp.fallback
         }
@@ -760,6 +778,17 @@ class FaceCascade:
         """Multi-scale detection pass. Returns [N, 4] (row, col, scale, q>0)
         in the reference's scan order (scale-major, then row, then col)."""
         dim = cols if dim is None else dim
+        if self.backend == "pallas" and dim != cols:
+            # Strided frames (reference ImageParams.Dim, core/pigo.go:29-34)
+            # de-stride exactly: every classifier read lands in [0, cols)
+            # (upright offsets |(code*s)>>8| < s/2 against the s/2+1 window
+            # margin; rotated reads are clamped below min(rows, cols)), so
+            # dropping the dim-cols pad columns changes no pixel any window
+            # can touch. The fast path then runs the contiguous frame.
+            if dim < cols:
+                raise ValueError(f"dim {dim} < cols {cols}")
+            pixels = destride(pixels, rows, cols, dim)
+            dim = cols
         if self.backend == "pallas" and dim == cols:
             # Upright AND rotated pyramids run on the device: the rotated
             # cascade's node reads are window-independent away from the

@@ -679,6 +679,220 @@ def _scale_call(nrt, nct, total_rows, cg, t_num, depth, thresh_last,
     return jax.jit(call) if interpret else call
 
 
+@functools.lru_cache(maxsize=None)
+def _multi_kernel_body(t_limit: int, depth: int):
+    """Tree-prefix kernel over the CONCATENATED tail scales: one pallas
+    call for every prefix scale of a pyramid (round-3 lever: the ~20
+    per-scale launches dominate host-free mode's gap to the host-tail
+    config). Per grid step the tile's geometry rides in SMEM:
+    meta[i*8 : i*8+8] = (tr, ct, nr, nc, R, planes_off, table_off, valid).
+
+    The node-read machinery is the dense kernel's (same packed scalar
+    format, 2*TILE_R slab + rolls); every window either fails (-1) or
+    survives `t_limit` trees and gets PREFIX_MARK for the host finisher."""
+    chunk_trees = 4 if t_limit % 4 == 0 else (2 if t_limit % 2 == 0 else 1)
+    nleaf = 2 ** depth
+
+    def kernel(meta_ref, tables_ref, preds_ref, thresh_ref, planes_ref,
+               q_ref):
+        i = pl.program_id(0)
+        tr = meta_ref[i * 8 + 0]
+        ct = meta_ref[i * 8 + 1]
+        nr = meta_ref[i * 8 + 2]
+        nc = meta_ref[i * 8 + 3]
+        chunk_stride = meta_ref[i * 8 + 4]
+        planes_off = meta_ref[i * 8 + 5]
+        table_off = meta_ref[i * 8 + 6]
+        is_pad = meta_ref[i * 8 + 7] == 0
+        row0 = tr * TILE_R + ct * chunk_stride + planes_off
+
+        lane_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 1)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANE), 0)
+        pad_mask = (
+            ((lane_ix + ct * LANE) >= nc) | ((row_ix + tr * TILE_R) >= nr)
+            | is_pad
+        ).astype(jnp.float32)
+
+        def read(packed):
+            row = (packed >> 7) + row0
+            vrem = packed & 127
+            srem = row & (SUBLANE - 1)
+            ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
+            wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
+            wide = pltpu.roll(wide, -srem, 0)[:TILE_R, :]
+            return pltpu.roll(wide, -vrem, 1)[:, :LANE]
+
+        def one_tree(t, out, fail):
+            base = table_off + t * (nleaf - 1) * 2
+            bits = []
+            for n in range(1, nleaf):
+                p1 = tables_ref[base + (n - 1) * 2]
+                p2 = tables_ref[base + (n - 1) * 2 + 1]
+                bits.append(read(p1) <= read(p2))
+            half = nleaf // 2
+            vals = [
+                jnp.where(
+                    bits[half + m - 1],
+                    preds_ref[t * nleaf + 2 * m + 1],
+                    preds_ref[t * nleaf + 2 * m],
+                )
+                for m in range(half)
+            ]
+            for lvl in range(depth - 2, -1, -1):
+                lo = 2 ** lvl
+                vals = [
+                    jnp.where(bits[lo + m - 1], vals[2 * m + 1], vals[2 * m])
+                    for m in range(lo)
+                ]
+            out = out + vals[0]
+            fail = jnp.maximum(
+                fail, (out <= thresh_ref[t]).astype(jnp.float32)
+            )
+            return out, fail
+
+        def tree_step(carry):
+            t, out, fail = carry
+            for j in range(chunk_trees):
+                out, fail = one_tree(t + j, out, fail)
+            return t + chunk_trees, out, fail
+
+        def cond(carry):
+            t, _, fail = carry
+            return (t < t_limit) & (jnp.min(fail) < 1.0)
+
+        out0 = jnp.zeros((TILE_R, LANE), jnp.float32)
+        _, out, fail = jax.lax.while_loop(
+            cond, tree_step, (jnp.int32(0), out0, pad_mask)
+        )
+        q_ref[:] = jnp.where(
+            fail > 0.0, jnp.float32(-1.0), jnp.float32(PREFIX_MARK)
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_call(n_tiles: int, total_rows: int, t_limit: int, depth: int,
+                interpret: bool):
+    kernel = _multi_kernel_body(t_limit, depth)
+
+    def call(meta, tables, preds, thresh, planes):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_R, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles * TILE_R, LANE), jnp.float32
+            ),
+            interpret=interpret,
+        )(meta, tables, preds, thresh, planes)
+
+    return jax.jit(call) if interpret else call
+
+
+# group budgets for the fused prefix call: the concatenated planes must fit
+# VMEM whole (no DMA path on this Mosaic), per-scale 32-tree tables ride
+# SMEM. Scales beyond a group's budget start the next group.
+PREFIX_GROUP_VMEM = 12 * 1024 * 1024
+PREFIX_GROUP_SMEM_TABLES = 48 * 1024  # int32 words (~192KB)
+
+
+def prefix_groups(plan: DensePlan) -> list[list[ScalePlan]]:
+    """Pack the plan's prefix scales into fused-call groups under the VMEM
+    (planes) and SMEM (tables) budgets, preserving plan order."""
+    groups: list[list[ScalePlan]] = []
+    cur: list[ScalePlan] = []
+    vmem = words = 0
+    for sp in plan.scales:
+        if sp.fallback or not sp.prefix_trees:
+            continue
+        v = sp.total_rows * CHUNK * 4
+        w = sp.prefix_trees * (2 ** _tree_depth(sp) - 1) * 2
+        if cur and (vmem + v > PREFIX_GROUP_VMEM
+                    or words + w > PREFIX_GROUP_SMEM_TABLES):
+            groups.append(cur)
+            cur, vmem, words = [], 0, 0
+        cur.append(sp)
+        vmem += v
+        words += w
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _tree_depth(sp: ScalePlan) -> int:
+    # tables are [T, 2^depth - 1, 2]
+    return int(np.log2(sp.tables.shape[1] + 1))
+
+
+def _bucket_grid(n: int) -> int:
+    """Round the fused call's tile count up so nearby configs share one
+    compiled kernel (pad tiles die in one loop-condition check)."""
+    return max(8, _round_up(n, 8))
+
+
+def prefix_group_scores(
+    img_f32: jax.Array,
+    group: list[ScalePlan],
+    forest: FaceForest,
+    tables_cat: jax.Array,  # int32 concat of the group's trimmed tables
+    preds: jax.Array,
+    thresh: jax.Array,
+    interpret: bool = False,
+) -> list[jax.Array]:
+    """Evaluate every scale of one prefix group in ONE pallas call.
+
+    Returns the per-scale subsampled [nr_real, nc_real] score blocks in
+    group order (PREFIX_MARK survivors / -1 failures)."""
+    t_limit = group[0].prefix_trees
+    depth = forest.depth
+    metas = []
+    planes_parts = []
+    planes_off = 0
+    table_off = 0
+    tile_ranges = []
+    for sp in group:
+        assert sp.prefix_trees == t_limit
+        t0 = len(metas)
+        for tr in range(sp.n_row_tiles):
+            for ct in range(sp.n_col_tiles):
+                metas.append((tr, ct, sp.nr, sp.nc, sp.chunk_stride,
+                              planes_off, table_off, 1))
+        tile_ranges.append((t0, len(metas)))
+        planes_parts.append(_make_planes(img_f32, sp))
+        planes_off += sp.total_rows
+        table_off += t_limit * (2 ** depth - 1) * 2
+    n_tiles = _bucket_grid(len(metas))
+    while len(metas) < n_tiles:
+        metas.append((0, 0, 0, 0, 0, 0, 0, 0))
+    meta = jnp.asarray(np.asarray(metas, np.int32).reshape(-1))
+    planes = jnp.concatenate(planes_parts, axis=0)
+    call = _multi_call(n_tiles, planes_off, t_limit, depth, interpret)
+    q = call(meta, tables_cat, preds, thresh, planes)
+    outs = []
+    for sp, (t0, t1) in zip(group, tile_ranges):
+        blk = q[t0 * TILE_R : t1 * TILE_R].reshape(
+            sp.n_row_tiles, sp.n_col_tiles, TILE_R, LANE
+        )
+        blk = blk.transpose(0, 2, 1, 3).reshape(
+            sp.n_row_tiles * TILE_R, sp.n_col_tiles * LANE
+        )
+        blk = blk[: sp.nr, : sp.nc]
+        if sp.subsample > 1:
+            blk = blk[:: sp.subsample, :: sp.subsample]
+        outs.append(blk)
+    return outs
+
+
 def pyramid_scores(
     img_u8: jax.Array,  # uint8/any [rows, cols]
     plan: DensePlan,
@@ -691,15 +905,29 @@ def pyramid_scores(
     """Scores for every real non-fallback pyramid window, in plan order.
 
     Fallback scales (if any) are NOT included — the caller routes them
-    through the exact gather kernel (see models/face.py)."""
+    through the exact gather kernel (see models/face.py). Tree-prefix tail
+    scales are evaluated in fused multi-scale calls (prefix_group_scores);
+    `tables` must hold the TRIMMED (first prefix_trees) tables for them."""
     img_f32 = img_u8.astype(jnp.float32)
+    grouped: dict[int, jax.Array] = {}
+    for group in prefix_groups(plan):
+        tcat = jnp.concatenate([tables[sp.scale] for sp in group])
+        outs = prefix_group_scores(
+            img_f32, group, forest, tcat, preds, thresh, interpret
+        )
+        for sp, q in zip(group, outs):
+            grouped[sp.scale] = q
     parts = []
     for sp in plan.scales:
         if sp.fallback:
             continue
-        q = scale_scores(
-            img_f32, sp, forest, tables[sp.scale], preds, thresh, interpret
-        )
+        if sp.scale in grouped:
+            q = grouped[sp.scale]
+        else:
+            q = scale_scores(
+                img_f32, sp, forest, tables[sp.scale], preds, thresh,
+                interpret,
+            )
         parts.append(q.reshape(-1))
     if not parts:
         return jnp.zeros((0,), jnp.float32)

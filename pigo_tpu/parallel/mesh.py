@@ -36,7 +36,23 @@ def init_distributed(coordinator: str | None = None,
     JAX autodetects the cluster (TPU pod environments). Frame batches shard
     over `jax.devices()` (all hosts); the all_gather of per-chip hit lists
     rides ICI within a slice and DCN across hosts. Returns the global
-    device count. Safe to call on a single host (no-op)."""
+    device count.
+
+    With explicit (coordinator, num_processes, process_id) arguments a
+    failure to join the cluster RAISES — a caller asking for a specific
+    cluster must not silently run single-host. Argument-less autodetection
+    stays a safe no-op outside cluster environments. On the CPU backend
+    cross-process collectives use the gloo transport (exercised by the
+    2-process test, tests/test_multiprocess.py)."""
+    explicit = coordinator is not None
+    # read the configured platform WITHOUT initializing a backend —
+    # distributed.initialize must run before the first backend use
+    platforms = jax.config.jax_platforms or ""
+    if explicit and "cpu" in platforms:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # newer jax may rename/remove the knob; default then
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -44,5 +60,7 @@ def init_distributed(coordinator: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+        if explicit:
+            raise
+        # autodetect path: single-process / already initialized
     return len(jax.devices())

@@ -110,3 +110,156 @@ def test_landmark_anchor_geometry():
     # dist = 60 -> row = 100 + 15, col = 110 + 9, scale = 180
     assert (row, col) == (115, 119)
     assert scale == 180.0
+
+
+# ---------------------------------------------------------------- patch walk
+
+
+def _gather_vs_patch(codes, preds, cid, r0, c0, s0, flips, u, gray, geom,
+                     patch_sizes):
+    """Run both formulations on identical uniforms; return (ref, got, ovf)."""
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_dense, pupil_patch
+
+    rows, cols = gray.shape
+    stages, trees, depth, smul = geom
+    ref = np.asarray(pupil_dense.ensemble(
+        codes, preds, cid, r0, c0, s0, flips, u,
+        jnp.asarray(gray, jnp.uint8).reshape(-1),
+        stages=stages, trees=trees, depth=depth, nrows=rows, ncols=cols,
+        dim=cols, scale_mult=smul, rotated=False, angle_idx=0))
+    got, ovf = pupil_patch.ensemble_patch(
+        codes, preds, cid, r0, c0, s0, flips, u,
+        jnp.asarray(gray, jnp.uint8).reshape(rows, cols),
+        stages=stages, trees=trees, depth=depth, nrows=rows, ncols=cols,
+        scale_mult=smul, patch_sizes=patch_sizes)
+    return ref, np.asarray(got), np.asarray(ovf)
+
+
+def test_patch_walk_pupil_exact(plc, sample_gray):
+    """The MXU patch formulation (ops/pupil_patch.py) is bit-exact vs the
+    gather walk for non-overflowing pupil groups, flips included."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_patch
+
+    rows, cols = sample_gray.shape
+    g = plc.forest
+    geom = (g.stages, g.trees, g.depth, float(g.scale_mult))
+    G, P = 4, 15
+    u = jax.random.uniform(jax.random.PRNGKey(3), (G, P, 3), jnp.float32)
+    r0 = jnp.asarray([185.0, 182.0, 60.0, 250.0], jnp.float32)
+    c0 = jnp.asarray([112.0, 203.0, 100.0, 60.0], jnp.float32)
+    s0 = jnp.asarray([59.5, 59.5, 30.0, 45.0], jnp.float32)
+    flips = jnp.asarray([False, True, False, True])
+    sizes = pupil_patch.stage_patch_sizes(
+        60.0, stages=g.stages, scale_mult=float(g.scale_mult),
+        nrows=rows, ncols=cols)
+    ref, got, ovf = _gather_vs_patch(
+        plc.codes, plc.preds, jnp.zeros(G, jnp.int32), r0, c0, s0, flips, u,
+        sample_gray, geom, tuple(sizes))
+    assert not ovf.any()
+    assert np.array_equal(ref, got)
+
+
+def test_patch_walk_landmarks_exact(flp, sample_gray):
+    """Landmark cascades (9 forests via cascade id) through the patch walk
+    match the gather walk bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_patch
+
+    rows, cols = sample_gray.shape
+    lg = flp.geometry
+    geom = (lg.stages, lg.trees, lg.depth, float(lg.scale_mult))
+    G, P = 6, 15
+    u = jax.random.uniform(jax.random.PRNGKey(5), (G, P, 3), jnp.float32)
+    cid = jnp.asarray([0, 3, 5, 8, 2, 7], jnp.int32)
+    r0 = jnp.asarray([200.0, 150.0, 260.0, 180.0, 140.0, 300.0], jnp.float32)
+    c0 = jnp.asarray([160.0, 140.0, 200.0, 150.0, 250.0, 180.0], jnp.float32)
+    s0 = jnp.asarray([150.0, 120.0, 90.0, 150.0, 60.0, 120.0], jnp.float32)
+    flips = jnp.asarray([False, True, False, True, False, False])
+    sizes = pupil_patch.stage_patch_sizes(
+        150.0, stages=lg.stages, scale_mult=float(lg.scale_mult),
+        nrows=rows, ncols=cols)
+    ref, got, ovf = _gather_vs_patch(
+        flp.codes, flp.preds, cid, r0, c0, s0, flips, u, sample_gray, geom,
+        tuple(sizes))
+    assert not ovf.any()
+    assert np.array_equal(ref, got)
+
+
+def test_patch_walk_overflow_flag(plc, sample_gray):
+    """A patch too small for the walk's reach must raise the group overflow
+    flag (the caller's cue to re-run through the exact gather path) instead
+    of silently returning wrong positions."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_patch
+
+    rows, cols = sample_gray.shape
+    g = plc.forest
+    P = 15
+    u = jax.random.uniform(jax.random.PRNGKey(4), (1, P, 3), jnp.float32)
+    got, ovf = pupil_patch.ensemble_patch(
+        plc.codes, plc.preds, jnp.zeros(1, jnp.int32),
+        jnp.asarray([185.0], jnp.float32), jnp.asarray([112.0], jnp.float32),
+        jnp.asarray([300.0], jnp.float32),  # reach ~150 >> patch half 64
+        jnp.zeros(1, bool), u,
+        jnp.asarray(sample_gray, jnp.uint8).reshape(rows, cols),
+        stages=g.stages, trees=g.trees, depth=g.depth, nrows=rows,
+        ncols=cols, scale_mult=float(g.scale_mult),
+        patch_sizes=(128,) * g.stages)
+    assert bool(np.asarray(ovf)[0])
+
+
+def test_pallas_walk_matches_patch_walk(plc, flp, sample_gray):
+    """The fused Pallas stage kernel (ops/pupil_pallas.py, interpret mode on
+    CPU) is bit-exact vs the jnp patch walk — which the tests above pin to
+    the gather walk — including the overflow flags."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_patch
+
+    rows, cols = sample_gray.shape
+    img2d = jnp.asarray(sample_gray, jnp.uint8).reshape(rows, cols)
+    P = 15
+
+    g = plc.forest
+    u = jax.random.uniform(jax.random.PRNGKey(3), (4, P, 3), jnp.float32)
+    args = (plc.codes, plc.preds, jnp.zeros(4, jnp.int32),
+            jnp.asarray([185.0, 182.0, 60.0, 250.0], jnp.float32),
+            jnp.asarray([112.0, 203.0, 100.0, 60.0], jnp.float32),
+            jnp.asarray([59.5, 59.5, 30.0, 45.0], jnp.float32),
+            jnp.asarray([False, True, False, True]), u, img2d)
+    sizes = pupil_patch.stage_patch_sizes(
+        60.0, stages=g.stages, scale_mult=float(g.scale_mult),
+        nrows=rows, ncols=cols)
+    kw = dict(stages=g.stages, trees=g.trees, depth=g.depth, nrows=rows,
+              ncols=cols, scale_mult=float(g.scale_mult),
+              patch_sizes=tuple(sizes))
+    ref, ovf_ref = pupil_patch.ensemble_patch(*args, **kw)
+    got, ovf = pupil_patch.ensemble_pallas(*args, interpret=True, **kw)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    assert np.array_equal(np.asarray(ovf_ref), np.asarray(ovf))
+
+    lg = flp.geometry
+    u2 = jax.random.uniform(jax.random.PRNGKey(9), (6, P, 3), jnp.float32)
+    args2 = (flp.codes, flp.preds, jnp.asarray([0, 3, 5, 8, 2, 7], jnp.int32),
+             jnp.asarray([200.0, 150.0, 260.0, 180.0, 140.0, 300.0],
+                         jnp.float32),
+             jnp.asarray([160.0, 140.0, 200.0, 150.0, 250.0, 180.0],
+                         jnp.float32),
+             jnp.asarray([150.0, 120.0, 90.0, 150.0, 60.0, 120.0],
+                         jnp.float32),
+             jnp.asarray([False, True, False, True, False, False]), u2, img2d)
+    sizes2 = pupil_patch.stage_patch_sizes(
+        150.0, stages=lg.stages, scale_mult=float(lg.scale_mult),
+        nrows=rows, ncols=cols)
+    kw2 = dict(stages=lg.stages, trees=lg.trees, depth=lg.depth, nrows=rows,
+               ncols=cols, scale_mult=float(lg.scale_mult),
+               patch_sizes=tuple(sizes2))
+    ref2, ovfr2 = pupil_patch.ensemble_patch(*args2, **kw2)
+    got2, ovf2 = pupil_patch.ensemble_pallas(*args2, interpret=True, **kw2)
+    assert np.array_equal(np.asarray(ref2), np.asarray(got2))
+    assert np.array_equal(np.asarray(ovfr2), np.asarray(ovf2))
