@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
 
+    # PIGO_TPU_PLATFORM pins the backend BEFORE the model imports below:
+    # several modules build device constants at import, which would
+    # otherwise initialize the default accelerator backend first.
+    from pigo_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     from pigo_tpu.detector import CascadeParams, FaceDetector
     from pigo_tpu.io.draw import draw_results
     from pigo_tpu.io.image import decode_image, rgb_to_grayscale

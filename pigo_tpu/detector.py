@@ -19,6 +19,7 @@ reports only its own points.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import numpy as np
@@ -243,6 +244,7 @@ def _fused_post_patch_impl(
     pcodes, ppreds, lcodes, lpreds,
     *, f, perturbs, rows, cols,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips, patch_cfg, pallas=False,
+    int8=False,
 ):
     """Upright eyes + landmarks via the MXU patch walk (ops/pupil_patch.py;
     pallas=True runs the fused stage kernel, ops/pupil_pallas.py) — one XLA
@@ -250,10 +252,13 @@ def _fused_post_patch_impl(
     patches. Returns [3, 2F + 15F + 1] with the any-group overflow flag
     broadcast into the last column; the caller must re-run overflowed
     frames through the gather path."""
+    import functools
+
     from pigo_tpu.ops import pupil_patch
 
     walk = (pupil_patch._ensemble_pallas_impl if pallas
-            else pupil_patch._ensemble_patch_impl)
+            else functools.partial(pupil_patch._ensemble_patch_impl,
+                                   int8=int8))
     k_eyes, k_lmk = jax.random.split(key)
     npts = lmk_cids.shape[0] // f if f else 0
     img2d = pixels.reshape(rows, cols)
@@ -295,7 +300,7 @@ _fused_post_patch = jax.jit(
     _fused_post_patch_impl,
     static_argnames=(
         "f", "perturbs", "rows", "cols", "pupil_geom", "lmk_geom",
-        "patch_cfg", "pallas",
+        "patch_cfg", "pallas", "int8",
     ),
 )
 
@@ -311,6 +316,17 @@ def _patch_post_pallas() -> bool:
     import os
 
     return os.environ.get("PIGO_TPU_POST_PALLAS") == "1"
+
+
+def _patch_post_int8() -> bool:
+    """Whether the patch walk's pixel matmul-gathers run in int8 on the MXU
+    (ops/pupil_patch.py: pixels shifted by -128 fit s8 exactly; bintest
+    compares are shift-invariant, so results stay bit-identical while the
+    s8 path runs at twice the bf16 MXU rate with half the HBM traffic).
+    Opt-in via PIGO_TPU_POST_INT8=1 until measured on real hardware."""
+    import os
+
+    return os.environ.get("PIGO_TPU_POST_INT8") == "1"
 
 
 def _attach_post(res, eyes, lmk, i, npts, perturbs):
@@ -359,7 +375,7 @@ def _device_detect_impl(
     *, hit_cap, iou_threshold, perturbs, rows, cols, angle_idx, rotated,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips,
     dense_cap=DEV_DENSE_CAP, tail_cap=DEV_TAIL_CAP, max_faces=DEV_MAX_FACES,
-    patch_cfg=None, patch_pallas=False,
+    patch_cfg=None, patch_pallas=False, patch_int8=False,
 ):
     """The WHOLE post-kernel frame pipeline as ONE XLA program.
 
@@ -388,6 +404,8 @@ def _device_detect_impl(
     tail_valid = jnp.arange(tail_cap) < tail_n
     dets = jnp.concatenate([dn, tail.astype(jnp.float32)])
     valid = jnp.concatenate([dense_valid, tail_valid])
+    # hit-capacity overflow only; face-slot overflow is decided on the host
+    # from the returned n_faces so the ladder can size slots EXACTLY
     overflow = (count > dense_cap) | (tail_n > tail_cap)
 
     # ---- cluster + face gating ----
@@ -399,7 +417,6 @@ def _device_detect_impl(
     slots = jnp.nonzero(keep, size=max_faces, fill_value=-1)[0]
     fvalid = slots >= 0
     faces = clusters[jnp.clip(slots, 0)]  # [max_faces, 4]
-    overflow = overflow | (n_faces > max_faces)
     eyed = fvalid & (faces[:, 2] > jnp.float32(MIN_EYE_FACE_SCALE))
 
     # ---- fused eyes + landmarks over the fixed face slots ----
@@ -418,7 +435,7 @@ def _device_detect_impl(
             f=max_faces, perturbs=perturbs, rows=rows, cols=cols,
             pupil_geom=pupil_geom, lmk_geom=lmk_geom,
             lmk_cids=lmk_cids, lmk_flips=lmk_flips, patch_cfg=patch_cfg,
-            pallas=patch_pallas,
+            pallas=patch_pallas, int8=patch_int8,
         )
         post = post_full[:, :-1]
         povf = post_full[0, -1]
@@ -445,7 +462,7 @@ _device_detect = jax.jit(
     static_argnames=(
         "hit_cap", "iou_threshold", "perturbs", "rows", "cols", "angle_idx",
         "rotated", "pupil_geom", "lmk_geom", "dense_cap", "tail_cap",
-        "max_faces", "patch_cfg", "patch_pallas",
+        "max_faces", "patch_cfg", "patch_pallas", "patch_int8",
     ),
 )
 
@@ -464,12 +481,24 @@ class FaceDetector:
         device_caps: tuple[int, int, int] | None = None,
     ):
         # (dense_cap, tail_cap, max_faces) for the device-resident frame
-        # program; frames exceeding them fall back to the exact host path
+        # program; frames exceeding them escalate to a re-sized program
         self.device_caps = (
             device_caps if device_caps is not None
             else (DEV_DENSE_CAP, DEV_TAIL_CAP, DEV_MAX_FACES)
         )
-        self._recent_face_scale = 0  # adaptive patch-size bound (streams)
+        # adaptive sizing state (streams exploit temporal coherence):
+        # face-slot count follows the max face count of the last 8 frames
+        # (power-of-two buckets bound the number of compiled programs);
+        # the patch-size bound is STICKY — raised immediately when a frame
+        # needs more, lowered only when the need drops well below it —
+        # because every distinct bound is a separate compiled program and
+        # an oscillating bound was measured to cost an extra dispatch on
+        # every other frame (patch overflow -> escalation round trip).
+        self._auto_caps = device_caps is None
+        self._recent_face_scale = 0
+        self._recent_face_counts: "collections.deque[int]" = (
+            collections.deque(maxlen=8))
+        self._face_bound = 0
         self.face = face if face is not None else FaceCascade()
         self.pupil = (
             pupil
@@ -703,7 +732,16 @@ class FaceDetector:
         # detect() reproduces the exact same perturbation uniforms.
         _, k_post = jax.random.split(key)
         fc = self.face
-        caps = self.device_caps if caps is None else caps
+        if caps is None:
+            caps = self.device_caps
+            if self._auto_caps and self._recent_face_counts:
+                # follow the stream's face count (the fused post work is
+                # linear in SLOTS, not faces: a pad slot costs as much as a
+                # real one); power-of-two buckets keep program count low
+                want = max(1, max(self._recent_face_counts))
+                slots = 1 << (want - 1).bit_length()
+                caps = (caps[0], caps[1],
+                        min(max(slots, 1), DEV_CAPS_ESCALATED[2]))
         rows, cols = frame.shape[-2], frame.shape[-1]
         cfg = (params.min_size, params.max_size, params.shift_factor,
                params.scale_factor)
@@ -750,17 +788,28 @@ class FaceDetector:
         exact_bound = int(max((sp.scale for sp in plan.scales), default=0))
         if face_bound is None:
             # default program plans patches ADAPTIVELY: streams have
-            # temporal coherence, so plan for ~1.25x the largest face seen
-            # recently (rounded for retrace hysteresis). A face that grows
-            # past the plan escalates to an exact_bound re-dispatch WITHOUT
-            # paying for more face slots; the bound then tracks it.
+            # temporal coherence, so plan for ~1.1x the largest face seen
+            # recently. The bound is STICKY (only lowered when the need
+            # drops below 70% of it): every distinct bound is a separate
+            # compiled program, and a bound that tracks frame-to-frame
+            # face jitter was measured to patch-overflow on alternate
+            # frames, paying an escalation round trip each time. A face
+            # that outgrows the plan escalates to an exact_bound
+            # re-dispatch WITHOUT paying for more face slots.
             recent = getattr(self, "_recent_face_scale", 0)
             if recent:
-                face_bound = min(exact_bound,
-                                 _round_up(int(1.25 * recent), 64))
+                need = min(exact_bound,
+                           max(_round_up(int(1.1 * recent), 32),
+                               int(params.min_size)))
             else:
-                face_bound = min(exact_bound, max(
+                need = min(exact_bound, max(
                     int(0.5 * min(rows, cols)), int(params.min_size)))
+            cur = self._face_bound
+            if cur and need <= cur and need > 0.7 * cur:
+                face_bound = min(cur, exact_bound)
+            else:
+                face_bound = need
+            self._face_bound = face_bound
         patch_cfg = None
         if not rotated and _use_patch_post() and exact_bound > 0:
             patch_cfg = _post_patch_cfg(rows, cols, face_bound, pupil_geom,
@@ -778,6 +827,7 @@ class FaceDetector:
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
             dense_cap=dense_cap, tail_cap=tail_cap, max_faces=max_faces,
             patch_cfg=patch_cfg, patch_pallas=_patch_post_pallas(),
+            patch_int8=_patch_post_int8(),
         )
         try:
             fut.copy_to_host_async()
@@ -791,18 +841,35 @@ class FaceDetector:
          npts, caps, face_bound, exact_bound) = ticket
         out = np.asarray(fut)  # the frame's single round trip
         mf = caps[2]
-        cap_ovf = out[0] > 0.0
+        hit_ovf = out[0] > 0.0
         patch_ovf = out[1] > 0.0
-        if cap_ovf or patch_ovf:
+        n_faces = int(out[2])
+        face_ovf = n_faces > mf
+        if hit_ovf or patch_ovf or face_ovf:
             # Escalate ONLY the overflowed dimension (one extra round trip,
-            # still device-resident): capacity overflows grow the caps,
-            # walk-patch overflows re-plan patches for the exact face-scale
-            # ceiling — growing one must not pay for the other (a 16-slot
-            # big-patch program is ~100x the post work of the default).
-            bigger = (tuple(max(a, b) for a, b in
-                            zip(DEV_CAPS_ESCALATED, caps))
-                      if cap_ovf else tuple(caps))
+            # still device-resident): hit overflows grow the dense/tail
+            # caps, face overflows grow the slot count to EXACTLY cover the
+            # device-reported face count (power-of-two bucket), walk-patch
+            # overflows re-plan patches for the exact face-scale ceiling —
+            # growing one must not pay for the others (a 16-slot big-patch
+            # program is ~100x the post work of the default).
+            bigger = list(caps)
+            if hit_ovf:
+                bigger[0] = max(DEV_CAPS_ESCALATED[0], caps[0])
+                bigger[1] = max(DEV_CAPS_ESCALATED[1], caps[1])
+            if face_ovf:
+                slots = 1 << (n_faces - 1).bit_length()
+                if slots > DEV_CAPS_ESCALATED[2]:
+                    rows, cols = frame.shape[-2], frame.shape[-1]
+                    return self.detect(frame, rows, cols, params, angle,
+                                       iou_threshold, perturbs, key)
+                bigger[2] = max(slots, caps[2])
+                self._recent_face_counts.append(n_faces)
+            bigger = tuple(bigger)
             bound = exact_bound if patch_ovf else face_bound
+            if patch_ovf:
+                # later frames must not re-try the bound that just failed
+                self._face_bound = max(self._face_bound, bound)
             if bigger != tuple(caps) or bound != face_bound:
                 return self._collect_frame_device(self._dispatch_frame_device(
                     frame, params, angle, iou_threshold, perturbs, key,
@@ -829,7 +896,9 @@ class FaceDetector:
             if eyed[i]:
                 _attach_post(res, eyes, lmk, i, npts, perturbs)
             results.append(res)
-        if results:  # feed the adaptive patch-size bound for later frames
+        # feed the adaptive sizing state for later frames
+        self._recent_face_counts.append(len(results))
+        if results:
             self._recent_face_scale = max(r.face.scale for r in results)
         return results
 
@@ -903,7 +972,8 @@ class FaceDetector:
                 rows, cols, max(r.face.scale for r in eyed),
                 pupil_geom, lmk_geom)
             fut = _fused_post_patch(*args, patch_cfg=patch_cfg,
-                                    pallas=_patch_post_pallas(), **kw)
+                                    pallas=_patch_post_pallas(),
+                                    int8=_patch_post_int8(), **kw)
             retry = (args, kw)
         else:
             fut = _fused_post(

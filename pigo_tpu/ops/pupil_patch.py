@@ -101,12 +101,20 @@ def _masked_fsum(onehot, table):
 def _walk_patch_impl(
     codes, preds, casc_id, r0, c0, s0, col_sign, img2d,
     *, stages, trees, depth, nrows, ncols, scale_mult, patch_sizes,
+    int8=False,
 ):
     """The upright walk on [G, P] starts. Returns (r, c, s, overflow[G]).
 
     codes: packed int32 [NC * S * T * 2^depth] (pupil_dense.pack_codes
     layout); preds: f32 [NC * S * T * 2^depth * 2]; casc_id [G] int32;
-    r0/c0/s0 [G, P] f32; col_sign [G] int32; img2d uint8 [nrows, ncols]."""
+    r0/c0/s0 [G, P] f32; col_sign [G] int32; img2d uint8 [nrows, ncols].
+
+    int8=True runs the pixel matmul-gathers in int8 on the MXU: pixels are
+    stored shifted by -128 (uint8 - 128 fits s8 exactly), the one-hot is
+    s8 unit rows, and the s8 x s8 -> i32 product reproduces the shifted
+    pixel exactly. The walk only COMPARES pixel pairs, and px1 > px2 is
+    invariant under the shared shift, so results are bit-identical; the
+    s8 MXU path runs at twice the bf16 rate with half the HBM traffic."""
     g, p = r0.shape
     t = trees
     leaves = 1 << depth
@@ -125,7 +133,10 @@ def _walk_patch_impl(
         img_pad = jnp.pad(
             img2d, ((0, max(0, max_hp - nrows)), (0, max(0, max_hp - ncols)))
         )
-    img_bf = img_pad.astype(jnp.bfloat16)
+    if int8:
+        img_x = (img_pad.astype(jnp.int16) - 128).astype(jnp.int8)
+    else:
+        img_x = img_pad.astype(jnp.bfloat16)
 
     r, c, s = r0, c0, s0
     overflow = jnp.zeros((g,), bool)
@@ -138,7 +149,7 @@ def _walk_patch_impl(
         mc = jnp.mean(c, axis=1).astype(jnp.int32)
         orow = jnp.clip(mr - hp // 2, 0, max(nrows - hp, 0))
         ocol = jnp.clip(mc - wp // 2, 0, max(ncols - wp, 0))
-        patches = _extract_patches(img_bf, orow, ocol, hp, wp)  # [G,hp,wp]
+        patches = _extract_patches(img_x, orow, ocol, hp, wp)  # [G,hp,wp]
 
         ri = (256 * r.astype(jnp.int32))[:, :, None]  # [G,P,1]
         ci = (256 * c.astype(jnp.int32))[:, :, None]
@@ -174,20 +185,26 @@ def _walk_patch_impl(
             lc = jnp.clip(
                 jnp.stack([lc1, lc2], axis=1).reshape(g, 2 * p * t), 0, wp - 1
             )
-            oh_rows = (
-                lr[..., None] == jnp.arange(hp, dtype=jnp.int32)
-            ).astype(jnp.bfloat16)  # [G, 2PT, hp]
-            rowsel = jnp.einsum(
-                "gph,ghw->gpw", oh_rows, patches,
-                preferred_element_type=jnp.bfloat16,
-            )  # [G, 2PT, wp] — exact even in bf16: one unit uint8 term per
-            # output (and halving this, the walk's largest buffer, matters:
-            # the jnp path is HBM-bound on it)
+            oh_eq = lr[..., None] == jnp.arange(hp, dtype=jnp.int32)
             oh_cols = lc[..., None] == jnp.arange(wp, dtype=jnp.int32)
-            px = _masked_fsum(
-                oh_cols, rowsel.astype(jnp.float32)
-            )  # [G, 2PT] exact u8 values
+            if int8:
+                rowsel = jnp.einsum(
+                    "gph,ghw->gpw", oh_eq.astype(jnp.int8), patches,
+                    preferred_element_type=jnp.int32,
+                )  # [G, 2PT, wp] exact shifted pixels (one s8 term each)
+                px = _masked_isum(oh_cols, rowsel)  # [G, 2PT] px - 128
+            else:
+                rowsel = jnp.einsum(
+                    "gph,ghw->gpw", oh_eq.astype(jnp.bfloat16), patches,
+                    preferred_element_type=jnp.bfloat16,
+                )  # [G, 2PT, wp] — exact even in bf16: one unit uint8 term
+                # per output (and halving this, the walk's largest buffer,
+                # matters: the jnp path is HBM-bound on it)
+                px = _masked_fsum(
+                    oh_cols, rowsel.astype(jnp.float32)
+                )  # [G, 2PT] exact u8 values
             px = px.reshape(g, 2, p, t)
+            # px1 > px2 is invariant under the int8 path's shared -128 shift
             b = (px[:, 0] > px[:, 1]).astype(jnp.int32)
             idx = 2 * idx + 1 + b
         overflow = overflow | jnp.any(~ok, axis=(1, 2))
@@ -211,6 +228,7 @@ def _walk_patch_impl(
 def _ensemble_patch_impl(
     codes, preds, casc_id, rows0, cols0, scales0, flips, u, img2d,
     *, stages, trees, depth, nrows, ncols, scale_mult, patch_sizes,
+    int8=False,
 ):
     """Fused jitter -> patch walk -> median. Mirrors
     pupil_dense._ensemble_impl but returns (medians [3, G], overflow [G])."""
@@ -222,7 +240,7 @@ def _ensemble_patch_impl(
     r, c, s, overflow = _walk_patch_impl(
         codes, preds, casc_id.astype(jnp.int32), r0, c0, s0, col_sign, img2d,
         stages=stages, trees=trees, depth=depth, nrows=nrows, ncols=ncols,
-        scale_mult=scale_mult, patch_sizes=patch_sizes,
+        scale_mult=scale_mult, patch_sizes=patch_sizes, int8=int8,
     )
     rm, cm, sm = pupil_dense.median_vote(r, c, s, p)
     return jnp.stack([rm, cm, sm]), overflow
@@ -232,7 +250,7 @@ ensemble_patch = jax.jit(
     _ensemble_patch_impl,
     static_argnames=(
         "stages", "trees", "depth", "nrows", "ncols", "scale_mult",
-        "patch_sizes",
+        "patch_sizes", "int8",
     ),
 )
 

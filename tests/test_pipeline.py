@@ -63,9 +63,19 @@ def test_detection_is_deterministic(detector, sample_gray):
 
 
 def run_cli(*args, stdin=None):
+    # Hermetic like the rest of the suite: the subprocess must not inherit
+    # the accelerator platform (PIGO_TPU_TEST_PLATFORM=tpu opts back in).
+    # PIGO_TPU_PLATFORM (pigo_tpu/utils/platform.py) — NOT JAX_PLATFORMS:
+    # deployment shims can override the env var at interpreter start, and a
+    # CPU-pinned subprocess must never block on the accelerator tunnel.
+    import os
+
+    env = dict(os.environ)
+    if os.environ.get("PIGO_TPU_TEST_PLATFORM", "cpu") == "cpu":
+        env["PIGO_TPU_PLATFORM"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "pigo_tpu.cli", *args],
-        capture_output=True, input=stdin, timeout=600,
+        capture_output=True, input=stdin, timeout=600, env=env,
     )
 
 
@@ -345,6 +355,53 @@ def test_detect_stream_device_crowd_no_fallback(monkeypatch):
            [(r.face.row, r.face.col, r.face.scale) for r in want]
     for g in got:
         assert len(g.eyes) == 2 and len(g.landmarks) == 15
+
+
+def test_adaptive_post_sizing_state(sample_gray):
+    """The device-stream program adapts to the observed stream: face-slot
+    count follows the recent face count (a pad slot costs as much as a
+    real face in the fused post stage), and the patch-size bound is STICKY
+    under frame-to-frame face-scale jitter (every distinct bound is a
+    separate compiled program; an oscillating bound was measured to cost
+    an escalation round trip on alternate frames)."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+
+    det = FaceDetector()
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    rows, cols = sample_gray.shape
+    key = jax.random.PRNGKey(0)
+
+    def dispatch():
+        t = det._dispatch_frame_device(
+            sample_gray, params, 0.0, 0.2, 63, key)
+        return t[8], t[9]  # (caps, face_bound)
+
+    # fresh detector: default slots, initial geometric bound
+    caps, b_init = dispatch()
+    assert caps[2] == det.device_caps[2]
+    # a settled 1-face stream shrinks the program to one slot
+    det._recent_face_counts.extend([1, 1, 1])
+    det._recent_face_scale = 238
+    caps, b0 = dispatch()
+    assert caps[2] == 1
+    # +-6% scale jitter must not move the bound (no program churn)
+    for s in (225, 250, 238, 248):
+        det._recent_face_scale = s
+        _, b = dispatch()
+        assert b == b0, s
+    # a face that grows past the plan raises the bound immediately
+    det._recent_face_scale = int(b0 / 1.1) + 60
+    _, b_up = dispatch()
+    assert b_up > b0
+    # a much smaller face (below 70% of the bound) lowers it
+    det._recent_face_scale = 100
+    _, b_down = dispatch()
+    assert b_down < b0
+    # a 3-face burst raises the slot count (power-of-two bucket)
+    det._recent_face_counts.extend([3])
+    caps, _ = dispatch()
+    assert caps[2] == 4
 
 
 def test_detect_accepts_image_params(detector, sample_gray):

@@ -189,6 +189,40 @@ def test_patch_walk_landmarks_exact(flp, sample_gray):
     assert np.array_equal(ref, got)
 
 
+def test_patch_walk_int8_exact(plc, flp, sample_gray):
+    """The int8 MXU variant (pixels shifted by -128 into s8, s8 x s8 -> i32
+    matmul-gathers) is bit-identical to the default walk: the shift cancels
+    in every px1 > px2 bintest compare and each one-hot product has exactly
+    one s8 term, so no rounding or overflow can occur."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_patch
+
+    rows, cols = sample_gray.shape
+    img2d = jnp.asarray(sample_gray, jnp.uint8).reshape(rows, cols)
+    for casc, cid0, s0v in ((plc, 0, 59.5), (flp, 4, 120.0)):
+        g = getattr(casc, "forest", None) or casc.geometry
+        G, P = 3, 15
+        u = jax.random.uniform(jax.random.PRNGKey(7), (G, P, 3), jnp.float32)
+        cid = jnp.full((G,), cid0, jnp.int32)
+        r0 = jnp.asarray([185.0, 150.0, 250.0], jnp.float32)
+        c0 = jnp.asarray([112.0, 203.0, 160.0], jnp.float32)
+        s0 = jnp.full((G,), s0v, jnp.float32)
+        flips = jnp.asarray([False, True, False])
+        sizes = tuple(pupil_patch.stage_patch_sizes(
+            float(s0v) + 1.0, stages=g.stages,
+            scale_mult=float(g.scale_mult), nrows=rows, ncols=cols))
+        kw = dict(stages=g.stages, trees=g.trees, depth=g.depth,
+                  nrows=rows, ncols=cols, scale_mult=float(g.scale_mult),
+                  patch_sizes=sizes)
+        args = (casc.codes, casc.preds, cid, r0, c0, s0, flips, u, img2d)
+        ref, ovf_ref = pupil_patch.ensemble_patch(*args, **kw)
+        got, ovf = pupil_patch.ensemble_patch(*args, int8=True, **kw)
+        assert not np.asarray(ovf_ref).any()
+        assert np.array_equal(np.asarray(ovf_ref), np.asarray(ovf))
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_patch_walk_overflow_flag(plc, sample_gray):
     """A patch too small for the walk's reach must raise the group overflow
     flag (the caller's cue to re-run through the exact gather path) instead
