@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -105,16 +106,65 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _use_mxu_read() -> bool:
+    """Sub-align node reads with a one-hot [TILE_R, 2*TILE_R] matmul on the
+    otherwise-idle MXU instead of a dynamic sublane roll (the kernel is
+    vector-issue bound; the roll is its widest vector op). Exact: the
+    one-hot has a single unit term per output row and the f32 matmul of
+    unit weights reproduces the plane values bit-for-bit.
+    PIGO_TPU_MXU_READ=0/1 overrides the measured default."""
+    env = os.environ.get("PIGO_TPU_MXU_READ")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
+def _read_builder(planes_ref, row0, mxu_read):
+    """The packed-node read shared by the dense and fused-prefix kernels:
+    SMEM word -> [TILE_R, LANE] window values (docstring at module top)."""
+
+    def read(packed):
+        row = (packed >> 7) + row0
+        vrem = packed & 127
+        srem = row & (SUBLANE - 1)
+        # Mosaic requires 8-aligned dynamic sublane starts: read 2*TILE_R
+        # rows from the aligned base, then remove the remainder.
+        ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
+        wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
+        if mxu_read:
+            # one-hot row selection on the MXU: out[i, :] = wide[srem+i, :]
+            d = (
+                jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 2 * TILE_R), 1)
+                - jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 2 * TILE_R), 0)
+            )
+            rsel = (d == srem).astype(jnp.float32)
+            aligned = jax.lax.dot_general(
+                rsel, wide, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # slice the rows away before the lane roll (halves its width)
+            aligned = pltpu.roll(wide, -srem, 0)[:TILE_R, :]
+        return pltpu.roll(aligned, -vrem, 1)[:, :LANE]
+
+    return read
+
+
 @dataclasses.dataclass(frozen=True)
 class ScalePlan:
     """Static geometry + node tables for one pyramid scale.
 
-    For rotated plans (angle_idx > 0) the dense kernel covers only the
-    INTERIOR window rectangle — window centers far enough from every edge
-    that the reference's rotated clamps (core/pigo.go:167-171) can never
-    trigger, making the node reads window-independent again. `r0`/`c0` are
-    the interior origin on the reference grid and `i_lo`/`j_lo` its grid
-    indices; border windows route to the host band scan."""
+    For rotated plans (angle_idx > 0) the planes are built from a
+    CLAMP-EXTENDED virtual image: the reference's rotated read
+    (core/pigo.go:167-171) is exactly
+    `img[clip(r+dr, 0, nrows-1), clip(c+dc, 0, nrows-1)]`
+    (max-before-shift == the lower clip, min(nrows-1, .) == the upper clip
+    on BOTH axes — the column quirk), i.e. a read of an edge-replicated
+    image at the UNCLAMPED coordinate. Building the planes from that
+    extension (`ext_*` fields) makes every node read window-independent
+    over the FULL reference grid, so rotated scales run entirely on the
+    device with no host border-band scan. `r0`/`c0` remain the grid
+    origin; the packed tables live in the shifted frame (+ext_mr/+ext_mc)."""
 
     scale: int
     step: int  # reference step k
@@ -142,6 +192,14 @@ class ScalePlan:
     j_lo: int = 0
     nr_full: int = 0  # full reference-grid extent (row/col window counts)
     nc_full: int = 0
+    # clamp-extension geometry (rotated scales; 0 = planes from the raw
+    # image): the planes read a virtual image V[r, c] =
+    # img[clip(r - ext_mr, 0, nrows-1), clip(c - ext_mc, 0, nrows-1)]
+    # of shape [ext_rows, ext_cols]
+    ext_mr: int = 0
+    ext_mc: int = 0
+    ext_rows: int = 0
+    ext_cols: int = 0
 
     @property
     def has_border(self) -> bool:
@@ -296,34 +354,29 @@ def build_dense_plan(
                 nr_full=nr_full, nc_full=nc_full,
             )
 
+        i_lo = j_lo = 0
+        nr_int, nc_int = nr_full, nc_full
+        r0 = c0 = offset
         if angle_idx == 0:
-            # upright reads never clamp: the whole grid is interior
-            i_lo = j_lo = 0
-            nr_int, nc_int = nr_full, nc_full
+            # upright reads never clamp: the raw image serves the planes
             dr_hi = dc_hi = (s_max * scale) >> 8  # conservative reach
+            ext_mr = ext_mc = ext_rows = ext_cols = 0
         else:
             (dr1, dc1), (dr2, dc2) = _node_offsets(forest, scale, angle_idx)
             dr_lo = int(min(dr1.min(), dr2.min()))
             dr_hi = int(max(dr1.max(), dr2.max()))
             dc_lo = int(min(dc1.min(), dc2.min()))
             dc_hi = int(max(dc1.max(), dc2.max()))
-            # interior window centers: every read in-bounds on both axes
-            # (cols are clamped with nrows-1 AND must not wrap past the
-            # row end, hence the min(rows, cols) bound)
-            col_hi = min(rows, cols) - 1
-            r_min, r_max = -dr_lo, rows - 1 - dr_hi
-            c_min, c_max = -dc_lo, col_hi - dc_hi
-            i_lo = max(0, -(-(r_min - offset) // k))
-            i_hi = min(nr_full - 1, (r_max - offset) // k)
-            j_lo = max(0, -(-(c_min - offset) // k))
-            j_hi = min(nc_full - 1, (c_max - offset) // k)
-            nr_int = i_hi - i_lo + 1
-            nc_int = j_hi - j_lo + 1
-            if nr_int <= 0 or nc_int <= 0:
-                plans.append(fallback_plan())
-                continue
-        r0 = offset + i_lo * k
-        c0 = offset + j_lo * k
+            # Clamp-extension (class docstring): planes read the
+            # edge-replicated virtual image, so the FULL grid is interior.
+            # Margins cover the extreme reads of the extreme real windows.
+            ext_mr = max(0, -(offset + dr_lo))
+            ext_mc = max(0, -(offset + dc_lo))
+            ext_rows = (ext_mr + offset + (nr_full - 1) * k + dr_hi + 1)
+            ext_cols = (ext_mc + offset + (nc_full - 1) * k + dc_hi + 1)
+        # table-packing origin lives in the extended (shifted) frame
+        r0p = r0 + ext_mr
+        c0p = c0 + ext_mc
 
         sparse_tail = nr_int * nc_int < TAIL_MIN_WINDOWS
         if sparse_tail and (
@@ -352,15 +405,15 @@ def build_dense_plan(
             # Planes carry only the rows real windows read; pad-window and
             # 16-row-aligned over-reads spill into the next plane (or the
             # global tail), which is harmless since those values are unused.
-            prg = (r0 + dr_hi) // d + nr + 1
+            prg = (r0p + dr_hi) // d + nr + 1
             # chunk stride (d*prg in the split layout) must be 8-aligned so
             # the +g*R group reads keep Mosaic's 8-aligned sublane starts
             while (d * prg) % SUBLANE:
                 prg += 1
             # plane columns per column phase; reads for real windows stay
             # inside one phase block (margin mirrors prg)
-            pcb = (c0 + dc_hi) // d + nc + 1
-            v0_max = (d - 1) * pcb + (c0 + dc_hi) // d
+            pcb = (c0p + dc_hi) // d + nc + 1
+            v0_max = (d - 1) * pcb + (c0p + dc_hi) // d
             r_stride = d * prg
             n_chunks = (v0_max >> 7) + cg * nct
             tail = (nrt * TILE_R - nr) + 2 * TILE_R
@@ -387,12 +440,13 @@ def build_dense_plan(
                 nr=nr, nc=nc, nr_real=nr_int, nc_real=nc_int,
                 prg=prg, chunk_stride=r_stride, n_chunks=n_chunks,
                 n_row_tiles=nrt, n_col_tiles=nct, total_rows=total_rows,
-                tables=_build_scale_tables(forest, scale, d, r0, c0, prg,
+                tables=_build_scale_tables(forest, scale, d, r0p, c0p, prg,
                                            pcb, r_stride, angle_idx),
                 fallback=False, r0=r0, c0=c0, i_lo=i_lo, j_lo=j_lo,
                 nr_full=nr_full, nc_full=nc_full, col_groups=cg,
                 prefix_trees=PREFIX_TREES if sparse_tail else 0,
-                plane_cols=pcb,
+                plane_cols=pcb, ext_mr=ext_mr, ext_mc=ext_mc,
+                ext_rows=ext_rows, ext_cols=ext_cols,
             )
         )
     if rws:
@@ -425,7 +479,26 @@ def _make_planes(img_f32: jax.Array, sp: ScalePlan) -> jax.Array:
     lane-contiguous block transpose, COLUMN phases via one one-hot matmul
     on the MXU — exact in bf16 (pixels are integers <= 255, the one-hot
     has a single unit term per output) and ~10x cheaper than the
-    lane-granularity k*k shuffle it replaces."""
+    lane-granularity k*k shuffle it replaces.
+
+    Rotated scales (sp.ext_rows > 0) read the clamp-extended virtual image
+    V[r, c] = img[clip(r - ext_mr, 0, nrows-1), clip(c - ext_mc, 0, nrows-1)]
+    — BOTH axes clip with nrows-1, the reference's column-clamp quirk
+    (core/pigo.go:167-171) — which bakes every possible clamp into the
+    plane values so the kernels' window-independent reads stay bit-exact
+    over the full reference grid (ScalePlan docstring)."""
+    if sp.ext_rows:
+        nrows, ncols = img_f32.shape
+        hi = nrows - 1  # nrows-1 clamps BOTH axes (quirk)
+        ri = jnp.clip(jnp.arange(sp.ext_rows) - sp.ext_mr, 0, hi)
+        ci = jnp.clip(jnp.arange(sp.ext_cols) - sp.ext_mc, 0, hi)
+        # FLAT index like the reference (r*dim + c): on tall frames a
+        # clamped column in (ncols-1, nrows-1] wraps into the next pixel
+        # row — faithful here; the final clip only guards the absurd
+        # aspect ratios (nrows >~ offset*ncols) where the reference would
+        # read past its buffer.
+        flat = ri[:, None] * ncols + ci[None, :]
+        img_f32 = img_f32.reshape(-1)[jnp.clip(flat, 0, nrows * ncols - 1)]
     d = sp.eval_step
     prg = sp.prg
     h = prg * d
@@ -457,7 +530,7 @@ def _make_planes(img_f32: jax.Array, sp: ScalePlan) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _kernel_body(t_num: int, depth: int, thresh_last: float,
-                 col_groups: int = 1):
+                 col_groups: int = 1, mxu_read: bool = False):
     """Shared kernel builder; bucketed geometry => few distinct compilations.
 
     SMEM inputs: meta [7] = (nr, nc, chunk_stride R, row-tile offset,
@@ -507,11 +580,15 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float,
             | is_pad
         ).astype(jnp.float32)
 
+        read1 = _read_builder(planes_ref, row0, mxu_read)
+
         def read(packed):
             # Column group g serves window columns [g*128, g*128+128) of the
             # tile: same plane column remainder, chunk shifted by g — so the
             # scalar address/roll-amount work is shared across groups and
             # only the (vector) loads and rolls replicate.
+            if col_groups == 1:
+                return read1(packed)
             row = (packed >> 7) + row0
             vrem = packed & 127
             srem = row & (SUBLANE - 1)
@@ -528,8 +605,7 @@ def _kernel_body(t_num: int, depth: int, thresh_last: float,
                 # slice the rows away before the lane roll (halves its width)
                 wide = pltpu.roll(wide, -srem, 0)[:TILE_R, :]
                 parts.append(pltpu.roll(wide, -vrem, 1)[:, :LANE])
-            return (jnp.concatenate(parts, axis=1) if col_groups > 1
-                    else parts[0])
+            return jnp.concatenate(parts, axis=1)
 
         nleaf = 2 ** depth
 
@@ -622,6 +698,7 @@ def scale_scores(
         nrt, nct, sp.total_rows, sp.col_groups,
         forest.num_trees, forest.depth,
         float(forest.thresh[forest.num_trees - 1]), interpret,
+        _use_mxu_read(),
     )
     q = call(meta, tables, preds, thresh, planes)
     if banded:
@@ -644,7 +721,7 @@ def _bucket_tiles(n: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _scale_call(nrt, nct, total_rows, cg, t_num, depth, thresh_last,
-                interpret):
+                interpret, mxu_read=False):
     """Shared, geometry-keyed scale evaluator.
 
     In interpret mode the returned callable is jitted: per-instance jits
@@ -653,7 +730,7 @@ def _scale_call(nrt, nct, total_rows, cg, t_num, depth, thresh_last,
     module crashes the compiler (observed segfault) and fully-eager
     interpretation is ~50x slower. On TPU the callable stays bare so the
     caller's single whole-pyramid jit keeps per-frame dispatch collapsed."""
-    kernel = _kernel_body(t_num, depth, thresh_last, cg)
+    kernel = _kernel_body(t_num, depth, thresh_last, cg, mxu_read)
     cgl = cg * LANE
 
     def call(meta, tables, preds, thresh, planes):
@@ -680,7 +757,7 @@ def _scale_call(nrt, nct, total_rows, cg, t_num, depth, thresh_last,
 
 
 @functools.lru_cache(maxsize=None)
-def _multi_kernel_body(t_limit: int, depth: int):
+def _multi_kernel_body(t_limit: int, depth: int, mxu_read: bool = False):
     """Tree-prefix kernel over the CONCATENATED tail scales: one pallas
     call for every prefix scale of a pyramid (round-3 lever: the ~20
     per-scale launches dominate host-free mode's gap to the host-tail
@@ -713,14 +790,7 @@ def _multi_kernel_body(t_limit: int, depth: int):
             | is_pad
         ).astype(jnp.float32)
 
-        def read(packed):
-            row = (packed >> 7) + row0
-            vrem = packed & 127
-            srem = row & (SUBLANE - 1)
-            ra = pl.multiple_of((row >> 3) * SUBLANE, SUBLANE)
-            wide = planes_ref[pl.ds(ra, 2 * TILE_R), :]
-            wide = pltpu.roll(wide, -srem, 0)[:TILE_R, :]
-            return pltpu.roll(wide, -vrem, 1)[:, :LANE]
+        read = _read_builder(planes_ref, row0, mxu_read)
 
         def one_tree(t, out, fail):
             base = table_off + t * (nleaf - 1) * 2
@@ -773,8 +843,8 @@ def _multi_kernel_body(t_limit: int, depth: int):
 
 @functools.lru_cache(maxsize=None)
 def _multi_call(n_tiles: int, total_rows: int, t_limit: int, depth: int,
-                interpret: bool):
-    kernel = _multi_kernel_body(t_limit, depth)
+                interpret: bool, mxu_read: bool = False):
+    kernel = _multi_kernel_body(t_limit, depth, mxu_read)
 
     def call(meta, tables, preds, thresh, planes):
         return pl.pallas_call(
@@ -876,7 +946,8 @@ def prefix_group_scores(
         metas.append((0, 0, 0, 0, 0, 0, 0, 0))
     meta = jnp.asarray(np.asarray(metas, np.int32).reshape(-1))
     planes = jnp.concatenate(planes_parts, axis=0)
-    call = _multi_call(n_tiles, planes_off, t_limit, depth, interpret)
+    call = _multi_call(n_tiles, planes_off, t_limit, depth, interpret,
+                       _use_mxu_read())
     q = call(meta, tables_cat, preds, thresh, planes)
     outs = []
     for sp, (t0, t1) in zip(group, tile_ranges):

@@ -84,6 +84,35 @@ def test_pallas_interpret_single_scale(fc_pallas, sample_gray, face_forest):
     assert np.array_equal(q, qo)
 
 
+def test_pallas_mxu_read_exact(sample_gray, face_forest, monkeypatch):
+    """The MXU sub-alignment read (one-hot [TILE_R, 2*TILE_R] matmul in
+    place of the dynamic sublane roll, PIGO_TPU_MXU_READ=1) must be
+    bit-exact vs the oracle — the one-hot has a single unit f32 term per
+    output row, so no rounding can occur."""
+    from pigo_tpu.ops import face_pallas as fp
+
+    monkeypatch.setenv("PIGO_TPU_MXU_READ", "1")
+    rows, cols = sample_gray.shape
+    plan = fp.build_dense_plan(face_forest, rows, cols, 20, 25, 0.1, 1.3)
+    sp = next(sp for sp in plan.scales if not sp.fallback)
+    q = np.asarray(
+        fp.scale_scores(
+            jnp.asarray(sample_gray, jnp.float32), sp, face_forest,
+            jnp.asarray(sp.tables.reshape(-1)),
+            jnp.asarray(face_forest.preds.reshape(-1)),
+            jnp.asarray(face_forest.thresh),
+            interpret=True,
+        )
+    )
+    rr = np.arange(sp.offset, rows - sp.offset + 1, sp.step)
+    cc = np.arange(sp.offset, cols - sp.offset + 1, sp.step)
+    qo = oracle_classify_region(
+        face_forest, np.repeat(rr, cc.size), np.tile(cc, rr.size),
+        sp.scale, sample_gray.ravel(), cols,
+    ).reshape(rr.size, cc.size).astype(np.float32)
+    assert np.array_equal(q, qo)
+
+
 def test_rotated_classifier_quirks():
     """The rotated path must clamp COLUMNS with nrows-1, not ncols-1
     (reference quirk, core/pigo.go:167-171): on a tall image an edge
@@ -269,12 +298,12 @@ def test_hit_capacity_overflow_reread(sample_gray, face_forest, monkeypatch):
 
 def test_pallas_rotated_exact(face_forest, sample_gray, monkeypatch):
     """TPU-resident rotated cascade: the dense phase-decimated kernel runs
-    each scale's interior window rectangle with rotated node tables
-    (window-independent offsets — (r*65536 + off) >> 16 == r + (off >> 16)),
-    the host scans the clamp-affected border bands, and the merged result
-    is bit-exact vs the rotated oracle. Covers angles with and without
-    border bands, through both the native band scan and the NO_NATIVE
-    oracle fallback."""
+    each scale's FULL reference grid with rotated node tables
+    (window-independent offsets — (r*65536 + off) >> 16 == r + (off >> 16))
+    over clamp-extended planes that bake the reference's edge clamps
+    (core/pigo.go:167-171) into the plane values, and the result is
+    bit-exact vs the rotated oracle — with no host border-band scan at any
+    angle. Covers both the native tail and the NO_NATIVE oracle fallback."""
     from pigo_tpu.ops import face_pallas as fp
 
     monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
@@ -285,14 +314,16 @@ def test_pallas_rotated_exact(face_forest, sample_gray, monkeypatch):
         if no_native:
             monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
         fc = FaceCascade(backend="pallas")
-        for angle in (0.25, 0.97):  # 0.97: border bands on every dense scale
+        for angle in (0.25, 0.97):  # 0.97: near-maximal clamp reach
             aidx = int(32 * angle)
             plan, *_ = fc._dense_plan(rows, cols, cfg["min_size"],
                                       cfg["max_size"], cfg["shift_factor"],
                                       cfg["scale_factor"], aidx)
             assert any(not sp.fallback for sp in plan.scales)
-            if angle == 0.97:
-                assert plan.border_bands.shape[0] >= 1, "no border bands"
+            # the clamp-extension leaves no window for the host band scan
+            assert plan.border_bands.shape[0] == 0
+            assert all(sp.ext_rows > 0 for sp in plan.scales
+                       if not sp.fallback)
             dets = fc.run_cascade(frame, rows, cols, angle=angle, **cfg)
             want = oracle_run_cascade(
                 face_forest, frame.ravel(), rows, cols, cols,
@@ -302,6 +333,36 @@ def test_pallas_rotated_exact(face_forest, sample_gray, monkeypatch):
             assert np.array_equal(dets[:, :3], want[:, :3]), (no_native, angle)
             assert np.array_equal(dets[:, 3].astype(np.float32),
                                   want[:, 3].astype(np.float32))
+
+
+def test_pallas_rotated_wide_frame_quirk(face_forest, sample_gray,
+                                         monkeypatch):
+    """On a WIDE frame (ncols > nrows) the reference clamps rotated column
+    reads with nrows-1 — INSIDE the image (core/pigo.go:167-171): windows
+    near the right edge read column nrows-1 regardless of how much farther
+    right the probe points. The clamp-extended planes must reproduce this
+    bit-exactly vs the oracle (these windows were host-band territory
+    before the extension; now the dense kernel decides them)."""
+    from pigo_tpu.ops import face_pallas as fp
+
+    monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
+    monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
+    frame = np.ascontiguousarray(sample_gray[::2, ::2].T)  # wide: r < c
+    rows, cols = frame.shape
+    assert cols > rows
+    cfg = dict(min_size=40, max_size=160, shift_factor=0.15,
+               scale_factor=1.3)
+    fc = FaceCascade(backend="pallas")
+    for angle in (0.2, 0.5):
+        dets = fc.run_cascade(frame, rows, cols, angle=angle, **cfg)
+        want = oracle_run_cascade(
+            face_forest, frame.ravel(), rows, cols, cols,
+            cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+            cfg["scale_factor"], angle=angle)
+        assert dets.shape == want.shape, angle
+        assert np.array_equal(dets[:, :3], want[:, :3]), angle
+        assert np.array_equal(dets[:, 3].astype(np.float32),
+                              want[:, 3].astype(np.float32)), angle
 
 
 def test_native_run_band_matches_oracle(face_forest, sample_gray):
