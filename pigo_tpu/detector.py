@@ -223,16 +223,19 @@ def _use_patch_post() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom):
+def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom,
+                    rotated=False):
     """Static per-stage patch sizes for the MXU patch walk, from a face
-    scale bound known at dispatch. Returns ((pupil sizes), (lmk sizes))."""
+    scale bound known at dispatch. Returns ((pupil sizes), (lmk sizes)).
+    rotated widens the EYE patches for the rotated probe reach; landmark
+    walks are always upright (reference cmd/pigo/main.go:493-564)."""
     from pigo_tpu.ops import pupil_patch
 
     ps, pt, pd, pm = pupil_geom
     ls, lt, ld, lm = lmk_geom
     esize = pupil_patch.stage_patch_sizes(
         0.25 * float(max_face_scale), stages=ps, scale_mult=pm,
-        nrows=rows, ncols=cols)
+        nrows=rows, ncols=cols, rotated=rotated)
     lsize = pupil_patch.stage_patch_sizes(
         ASCALE_BOUND_FACTOR * float(max_face_scale), stages=ls,
         scale_mult=lm, nrows=rows, ncols=cols)
@@ -244,19 +247,23 @@ def _fused_post_patch_impl(
     pcodes, ppreds, lcodes, lpreds,
     *, f, perturbs, rows, cols,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips, patch_cfg, pallas=False,
-    int8=False,
+    int8=False, rotated=False, angle_idx=0,
 ):
-    """Upright eyes + landmarks via the MXU patch walk (ops/pupil_patch.py;
+    """Eyes + landmarks via the MXU patch walk (ops/pupil_patch.py;
     pallas=True runs the fused stage kernel, ops/pupil_pallas.py) — one XLA
     program, bit-exact vs _fused_post_impl when no group overflows its
-    patches. Returns [3, 2F + 15F + 1] with the any-group overflow flag
-    broadcast into the last column; the caller must re-run overflowed
-    frames through the gather path."""
+    patches. For rotated frames only the EYE walks rotate (the reference
+    always walks landmarks upright); patch_cfg must then carry
+    rotated-reach eye sizes (_post_patch_cfg). Returns [3, 2F + 15F + 1]
+    with the any-group overflow flag broadcast into the last column; the
+    caller must re-run overflowed frames through the gather path."""
     import functools
 
     from pigo_tpu.ops import pupil_patch
 
-    walk = (pupil_patch._ensemble_pallas_impl if pallas
+    # the hand-fused Pallas stage kernel is upright-only; rotated eye
+    # walks use the jnp patch formulation either way
+    walk = (pupil_patch._ensemble_pallas_impl if pallas and not rotated
             else functools.partial(pupil_patch._ensemble_patch_impl,
                                    int8=int8))
     k_eyes, k_lmk = jax.random.split(key)
@@ -266,11 +273,12 @@ def _fused_post_patch_impl(
 
     u_eyes = jax.random.uniform(k_eyes, (2 * f, perturbs, 3), jnp.float32)
     sg, tg, dg, mg = pupil_geom
+    ekw = dict(rotated=True, angle_idx=angle_idx) if rotated else {}
     eyes, e_ovf = walk(
         pcodes, ppreds, jnp.zeros(2 * f, jnp.int32), erow, ecol, escale,
         jnp.zeros(2 * f, bool), u_eyes, img2d,
         stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols,
-        scale_mult=mg, patch_sizes=esizes,
+        scale_mult=mg, patch_sizes=esizes, **ekw,
     )  # [3, 2F]
 
     # landmark anchors from the voted pupils (same math as _fused_post_impl)
@@ -300,7 +308,7 @@ _fused_post_patch = jax.jit(
     _fused_post_patch_impl,
     static_argnames=(
         "f", "perturbs", "rows", "cols", "pupil_geom", "lmk_geom",
-        "patch_cfg", "pallas", "int8",
+        "patch_cfg", "pallas", "int8", "rotated", "angle_idx",
     ),
 )
 
@@ -425,10 +433,10 @@ def _device_detect_impl(
         jnp.where(eyed, faces[:, 2], jnp.float32(100.0)),  # safe pad anchor
     )
     povf = jnp.float32(0.0)
-    if patch_cfg is not None and not rotated:
-        # MXU patch walk; a patch overflow is flagged SEPARATELY from the
-        # capacity overflow so the ladder can grow patches without paying
-        # for more face slots (and vice versa)
+    if patch_cfg is not None:
+        # MXU patch walk (rotated eye walks included); a patch overflow is
+        # flagged SEPARATELY from the capacity overflow so the ladder can
+        # grow patches without paying for more face slots (and vice versa)
         post_full = _fused_post_patch_impl(
             key, erow, ecol, escale,
             pixels, pcodes, ppreds, lcodes, lpreds,
@@ -436,6 +444,7 @@ def _device_detect_impl(
             pupil_geom=pupil_geom, lmk_geom=lmk_geom,
             lmk_cids=lmk_cids, lmk_flips=lmk_flips, patch_cfg=patch_cfg,
             pallas=patch_pallas, int8=patch_int8,
+            rotated=rotated, angle_idx=angle_idx,
         )
         post = post_full[:, :-1]
         povf = post_full[0, -1]
@@ -811,9 +820,9 @@ class FaceDetector:
                 face_bound = need
             self._face_bound = face_bound
         patch_cfg = None
-        if not rotated and _use_patch_post() and exact_bound > 0:
+        if _use_patch_post() and exact_bound > 0:
             patch_cfg = _post_patch_cfg(rows, cols, face_bound, pupil_geom,
-                                        lmk_geom)
+                                        lmk_geom, rotated=rotated)
         fut = _device_detect(
             packed, jnp.asarray(tail_np), jnp.int32(tail_n),
             arrays["rows_w"], arrays["cols_w"], arrays["scale_w"],
@@ -964,17 +973,20 @@ class FaceDetector:
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
         )
         retry = None
-        if not rotated and _use_patch_post():
-            # fast path: MXU patch walk (ops/pupil_patch.py); patch sizes
-            # come from the largest qualifying face, and a group that
-            # outruns its patches retries on the exact gather path
+        if _use_patch_post():
+            # fast path: MXU patch walk (ops/pupil_patch.py, rotated eye
+            # walks included); patch sizes come from the largest qualifying
+            # face, and a group that outruns its patches retries on the
+            # exact gather path
             patch_cfg = _post_patch_cfg(
                 rows, cols, max(r.face.scale for r in eyed),
-                pupil_geom, lmk_geom)
+                pupil_geom, lmk_geom, rotated=rotated)
             fut = _fused_post_patch(*args, patch_cfg=patch_cfg,
                                     pallas=_patch_post_pallas(),
-                                    int8=_patch_post_int8(), **kw)
-            retry = (args, kw)
+                                    int8=_patch_post_int8(),
+                                    rotated=rotated, angle_idx=angle_idx,
+                                    **kw)
+            retry = (args, kw, angle_idx, rotated)
         else:
             fut = _fused_post(
                 *args, dim=cols, angle_idx=angle_idx, rotated=rotated, **kw)
@@ -996,9 +1008,10 @@ class FaceDetector:
             out = np.asarray(fut)  # one round trip
         if retry is not None:
             if out[0, -1] > 0.0:  # patch overflow -> exact gather path
-                args, kw = retry
+                args, kw, angle_idx, rotated = retry
                 out = np.asarray(_fused_post(
-                    *args, dim=kw["cols"], angle_idx=0, rotated=False, **kw
+                    *args, dim=kw["cols"], angle_idx=angle_idx,
+                    rotated=rotated, **kw
                 ))
             else:
                 out = out[:, :-1]

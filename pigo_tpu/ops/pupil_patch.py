@@ -39,8 +39,11 @@ the caller must re-run overflowed groups through the exact gather path
 (`pupil_dense`). Patch sizes shrink with the per-stage scale multiplier, so
 stage 0 dominates the MXU cost.
 
-The rotated walk (angle > 0) keeps the gather formulation — rotated pupil
-work is a tiny fraction of serving traffic.
+The rotated walk (angle > 0, puploc.go:174-215) is the same formulation
+with rotated probe offsets (16.16 fixed-point qsin/qcos transform, `<=`
+polarity quirk) and a wider per-stage reach ((|cos|+|sin|) * 127/256 *
+s <= 0.71 * s vs 0.50 upright); only the EYE walks rotate — landmark
+walks are always upright (cmd/pigo/main.go:493-564 semantics).
 """
 
 from __future__ import annotations
@@ -62,21 +65,24 @@ def _bucket(x: int, max_patch: int) -> int:
 
 def stage_patch_sizes(
     s0_max: float, *, stages: int, scale_mult: float, nrows: int, ncols: int,
+    rotated: bool = False,
 ) -> tuple[int, ...]:
     """Per-stage patch sides for a walk whose start scale is at most s0_max.
 
     Required half-width at stage k: probes reach (127/256) * s of the
-    anchor, anchors are jittered +-0.075 * s0 and s itself up to
-    1.075 * s0 * m^k. Drift between stages re-centers the patch, so only
-    the per-stage reach matters; blowups are caught by the exact overflow
-    flag, not the estimate."""
+    anchor upright, (|cos|+|sin|) * (127/256) * s <= 0.71 * s rotated;
+    anchors are jittered +-0.075 * s0 and s itself up to 1.075 * s0 * m^k.
+    Drift between stages re-centers the patch, so only the per-stage reach
+    matters; blowups are caught by the exact overflow flag, not the
+    estimate."""
     max_patch = max(
         _bucket(nrows, 1024), _bucket(ncols, 1024)
     )
+    reach = 0.75 if rotated else 0.53
     sizes = []
     for k in range(stages):
         s_k = 1.075 * float(s0_max) * float(scale_mult) ** k
-        half = 0.53 * s_k + 0.075 * float(s0_max) + 4.0
+        half = reach * s_k + 0.075 * float(s0_max) + 4.0
         sizes.append(_bucket(int(2 * half) + 2, max_patch))
     return tuple(sizes)
 
@@ -101,9 +107,14 @@ def _masked_fsum(onehot, table):
 def _walk_patch_impl(
     codes, preds, casc_id, r0, c0, s0, col_sign, img2d,
     *, stages, trees, depth, nrows, ncols, scale_mult, patch_sizes,
-    int8=False,
+    int8=False, rotated=False, angle_idx=0,
 ):
-    """The upright walk on [G, P] starts. Returns (r, c, s, overflow[G]).
+    """The walk on [G, P] starts. Returns (r, c, s, overflow[G]).
+
+    rotated=True uses the quantized-rotation probe transform and the `<=`
+    bintest polarity (reference puploc.go:174-215 quirks), mirroring
+    pupil_dense._walk_impl's rotated branch; patch_sizes must then come
+    from stage_patch_sizes(rotated=True) (wider reach).
 
     codes: packed int32 [NC * S * T * 2^depth] (pupil_dense.pack_codes
     layout); preds: f32 [NC * S * T * 2^depth * 2]; casc_id [G] int32;
@@ -151,9 +162,18 @@ def _walk_patch_impl(
         ocol = jnp.clip(mc - wp // 2, 0, max(ncols - wp, 0))
         patches = _extract_patches(img_x, orow, ocol, hp, wp)  # [G,hp,wp]
 
-        ri = (256 * r.astype(jnp.int32))[:, :, None]  # [G,P,1]
-        ci = (256 * c.astype(jnp.int32))[:, :, None]
-        si = pupil_dense.round_away(s).astype(jnp.int32)[:, :, None]
+        if rotated:
+            qsin = (s * pupil_dense.QSIN_TABLE[angle_idx]).astype(
+                jnp.int32)[:, :, None]  # [G,P,1]
+            qcos = (s * pupil_dense.QCOS_TABLE[angle_idx]).astype(
+                jnp.int32)[:, :, None]
+            ri = (65536 * r.astype(jnp.int32))[:, :, None]
+            ci = (65536 * c.astype(jnp.int32))[:, :, None]
+            si = None
+        else:
+            ri = (256 * r.astype(jnp.int32))[:, :, None]  # [G,P,1]
+            ci = (256 * c.astype(jnp.int32))[:, :, None]
+            si = pupil_dense.round_away(s).astype(jnp.int32)[:, :, None]
 
         # per-stage code table [G, T, nodes] via the cascade id (NC <= 9)
         ctab = codes_v[cid, k]  # [G, T, nodes]
@@ -169,10 +189,28 @@ def _walk_patch_impl(
             onehot = loc == jnp.arange(n_l, dtype=jnp.int32)
             w = _masked_isum(onehot, tbl_l[:, None])  # [G,P,T] int32
             k0, k1, k2, k3 = pupil_dense._unpack4(w)
-            r1 = jnp.clip((ri + k0 * si) >> 8, 0, nrows - 1)
-            r2 = jnp.clip((ri + k2 * si) >> 8, 0, nrows - 1)
-            c1 = jnp.clip((ci + cs * k1 * si) >> 8, 0, ncols - 1)
-            c2 = jnp.clip((ci + cs * k3 * si) >> 8, 0, ncols - 1)
+            if rotated:
+                # quantized rotation, 16.16 fixed point; max-before-shift
+                # like the reference (puploc.go:181-190)
+                col1 = cs * k1
+                col2 = cs * k3
+                r1 = jnp.clip(
+                    jnp.maximum(0, ri + qcos * k0 - qsin * col1) >> 16,
+                    0, nrows - 1)
+                c1 = jnp.clip(
+                    jnp.maximum(0, ci + qsin * k0 + qcos * col1) >> 16,
+                    0, ncols - 1)
+                r2 = jnp.clip(
+                    jnp.maximum(0, ri + qcos * k2 - qsin * col2) >> 16,
+                    0, nrows - 1)
+                c2 = jnp.clip(
+                    jnp.maximum(0, ci + qsin * k2 + qcos * col2) >> 16,
+                    0, ncols - 1)
+            else:
+                r1 = jnp.clip((ri + k0 * si) >> 8, 0, nrows - 1)
+                r2 = jnp.clip((ri + k2 * si) >> 8, 0, nrows - 1)
+                c1 = jnp.clip((ci + cs * k1 * si) >> 8, 0, ncols - 1)
+                c2 = jnp.clip((ci + cs * k3 * si) >> 8, 0, ncols - 1)
             lr1 = r1 - orow[:, None, None]
             lr2 = r2 - orow[:, None, None]
             lc1 = c1 - ocol[:, None, None]
@@ -204,8 +242,12 @@ def _walk_patch_impl(
                     oh_cols, rowsel.astype(jnp.float32)
                 )  # [G, 2PT] exact u8 values
             px = px.reshape(g, 2, p, t)
-            # px1 > px2 is invariant under the int8 path's shared -128 shift
-            b = (px[:, 0] > px[:, 1]).astype(jnp.int32)
+            # both compares are invariant under the int8 path's shared -128
+            # shift; rotated uses the reference's `<=` polarity quirk
+            if rotated:
+                b = (px[:, 0] <= px[:, 1]).astype(jnp.int32)
+            else:
+                b = (px[:, 0] > px[:, 1]).astype(jnp.int32)
             idx = 2 * idx + 1 + b
         overflow = overflow | jnp.any(~ok, axis=(1, 2))
 
@@ -228,7 +270,7 @@ def _walk_patch_impl(
 def _ensemble_patch_impl(
     codes, preds, casc_id, rows0, cols0, scales0, flips, u, img2d,
     *, stages, trees, depth, nrows, ncols, scale_mult, patch_sizes,
-    int8=False,
+    int8=False, rotated=False, angle_idx=0,
 ):
     """Fused jitter -> patch walk -> median. Mirrors
     pupil_dense._ensemble_impl but returns (medians [3, G], overflow [G])."""
@@ -241,6 +283,7 @@ def _ensemble_patch_impl(
         codes, preds, casc_id.astype(jnp.int32), r0, c0, s0, col_sign, img2d,
         stages=stages, trees=trees, depth=depth, nrows=nrows, ncols=ncols,
         scale_mult=scale_mult, patch_sizes=patch_sizes, int8=int8,
+        rotated=rotated, angle_idx=angle_idx,
     )
     rm, cm, sm = pupil_dense.median_vote(r, c, s, p)
     return jnp.stack([rm, cm, sm]), overflow
@@ -250,7 +293,7 @@ ensemble_patch = jax.jit(
     _ensemble_patch_impl,
     static_argnames=(
         "stages", "trees", "depth", "nrows", "ncols", "scale_mult",
-        "patch_sizes", "int8",
+        "patch_sizes", "int8", "rotated", "angle_idx",
     ),
 )
 

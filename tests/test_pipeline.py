@@ -216,6 +216,39 @@ def test_full_pipeline_rotated():
     assert len(r.landmarks) == 15
 
 
+def test_full_pipeline_rotated_patch_post_parity(monkeypatch):
+    """The rotated MXU patch post (rotated eye walks, upright landmark
+    walks) must equal the rotated gather post exactly through detect():
+    same key -> identical eyes and landmarks."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    params = CascadeParams(100, 400, 0.15, 1.15)
+    key = jax.random.PRNGKey(0)
+    outs = []
+    for flag in ("0", "1"):
+        monkeypatch.setenv("PIGO_TPU_POST_PATCH", flag)
+        det = FaceDetector()
+        outs.append(det.detect(gray, rows, cols, params, angle=0.06,
+                               iou_threshold=0.2, key=key))
+    gather, patch = outs
+    assert len(gather) == len(patch) >= 1
+    for g, p in zip(gather, patch):
+        assert (g.face.row, g.face.col, g.face.scale) == (
+            p.face.row, p.face.col, p.face.scale)
+        assert len(g.eyes) == len(p.eyes) == 2
+        for ge, pe in zip(g.eyes, p.eyes):
+            assert (ge.row, ge.col, ge.scale) == (pe.row, pe.col, pe.scale)
+        assert len(g.landmarks) == len(p.landmarks) == 15
+        for gl, pl in zip(g.landmarks, p.landmarks):
+            assert (gl.row, gl.col, gl.scale) == (pl.row, pl.col, pl.scale)
+
+
 def test_stream_edge_configs():
     """depth=0 is clamped; detect_stream_device falls back to the host
     stream for partial detector configurations instead of crashing."""

@@ -189,6 +189,44 @@ def test_patch_walk_landmarks_exact(flp, sample_gray):
     assert np.array_equal(ref, got)
 
 
+def test_patch_walk_rotated_exact(plc, sample_gray):
+    """The rotated patch walk (quantized qsin/qcos probe transform, `<=`
+    polarity quirk, wider rotated reach) is bit-exact vs the rotated
+    gather walk (pupil_dense rotated branch, puploc.go:174-215) given
+    identical uniforms, across angles and flips."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu.ops import pupil_dense, pupil_patch
+
+    rows, cols = sample_gray.shape
+    g = plc.forest
+    G, P = 4, 15
+    u = jax.random.uniform(jax.random.PRNGKey(11), (G, P, 3), jnp.float32)
+    cid = jnp.zeros(G, jnp.int32)
+    r0 = jnp.asarray([185.0, 182.0, 90.0, 250.0], jnp.float32)
+    c0 = jnp.asarray([112.0, 203.0, 120.0, 90.0], jnp.float32)
+    s0 = jnp.asarray([59.5, 59.5, 40.0, 45.0], jnp.float32)
+    flips = jnp.asarray([False, True, False, True])
+    sizes = tuple(pupil_patch.stage_patch_sizes(
+        60.0, stages=g.stages, scale_mult=float(g.scale_mult),
+        nrows=rows, ncols=cols, rotated=True))
+    for angle_idx in (4, 8, 31):
+        ref = np.asarray(pupil_dense.ensemble(
+            plc.codes, plc.preds, cid, r0, c0, s0, flips, u,
+            jnp.asarray(sample_gray, jnp.uint8).reshape(-1),
+            stages=g.stages, trees=g.trees, depth=g.depth, nrows=rows,
+            ncols=cols, dim=cols, scale_mult=float(g.scale_mult),
+            rotated=True, angle_idx=angle_idx))
+        got, ovf = pupil_patch.ensemble_patch(
+            plc.codes, plc.preds, cid, r0, c0, s0, flips, u,
+            jnp.asarray(sample_gray, jnp.uint8).reshape(rows, cols),
+            stages=g.stages, trees=g.trees, depth=g.depth, nrows=rows,
+            ncols=cols, scale_mult=float(g.scale_mult), patch_sizes=sizes,
+            rotated=True, angle_idx=angle_idx)
+        assert not np.asarray(ovf).any(), angle_idx
+        assert np.array_equal(ref, np.asarray(got)), angle_idx
+
+
 def test_patch_walk_int8_exact(plc, flp, sample_gray):
     """The int8 MXU variant (pixels shifted by -128 into s8, s8 x s8 -> i32
     matmul-gathers) is bit-identical to the default walk: the shift cancels
