@@ -208,6 +208,23 @@ def test_sparse_hits_batch_exact(sample_gray, face_forest):
     assert np.array_equal(outs[0], outs[2])
 
 
+def test_sparse_hits_batch_rotated_exact(sample_gray, face_forest):
+    """Batched rotated fast path: the clamp-extended plane gather must be
+    vmap-correct (per-frame planes from per-frame pixels) and match the
+    single-frame rotated path exactly."""
+    fc = FaceCascade(face_forest, backend="pallas")
+    rows, cols = sample_gray.shape
+    cfg = dict(min_size=60, max_size=400, shift_factor=0.2,
+               scale_factor=1.3)
+    shifted = np.roll(sample_gray, 7, axis=1)
+    frames = np.stack([sample_gray, shifted])
+    outs = fc.sparse_hits_batch(frames, angle=0.25, **cfg)
+    assert len(outs) == 2
+    for frame, dets in zip(frames, outs):
+        want = fc.run_cascade(frame, rows, cols, angle=0.25, **cfg)
+        assert np.array_equal(dets, want)
+
+
 def test_native_tail_matches_gather_tail(sample_gray, face_forest, monkeypatch):
     """Tail scales produce identical hits through the host C++ engine and
     the gather kernel (PIGO_TPU_NO_NATIVE toggles the route; prefix mode
