@@ -207,8 +207,7 @@ _fused_post = jax.jit(
 ASCALE_BOUND_FACTOR = 1.3
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pigo_tpu.ops.face_pallas import _round_up  # noqa: E402 (shared helper)
 
 
 def _use_patch_post() -> bool:
@@ -247,7 +246,7 @@ def _fused_post_patch_impl(
     pcodes, ppreds, lcodes, lpreds,
     *, f, perturbs, rows, cols,
     pupil_geom, lmk_geom, lmk_cids, lmk_flips, patch_cfg, pallas=False,
-    int8=False, rotated=False, angle_idx=0,
+    int8=False, rotated=False, angle_idx=0, face_valid=None,
 ):
     """Eyes + landmarks via the MXU patch walk (ops/pupil_patch.py;
     pallas=True runs the fused stage kernel, ops/pupil_pallas.py) — one XLA
@@ -297,6 +296,12 @@ def _fused_post_patch_impl(
         stages=sg, trees=tg, depth=dg, nrows=rows, ncols=cols,
         scale_mult=mg, patch_sizes=lsizes,
     )  # [3, F*npts]
+    if face_valid is not None:
+        # pad/invalid face slots (device path: the fixed safe pad anchor)
+        # walk garbage anchors whose results are discarded — their patch
+        # overflows must not force an escalation re-dispatch
+        e_ovf = e_ovf & jnp.repeat(face_valid, 2)
+        l_ovf = l_ovf & jnp.repeat(face_valid, npts)
     ovf = (jnp.any(e_ovf) | jnp.any(l_ovf)).astype(jnp.float32)
     # one fetchable array: [3, 2F + 15F + 1], overflow in the last column
     return jnp.concatenate(
@@ -320,10 +325,13 @@ def _patch_post_pallas() -> bool:
     kernel (13.0 vs 22.1 ms at 2 face slots — XLA overlaps the one-hot
     builds with the matmul-gathers better than the Mosaic schedule).
     PIGO_TPU_POST_PALLAS=1 opts in, e.g. for hardware where HBM, not
-    issue scheduling, bounds the walk."""
+    issue scheduling, bounds the walk. The Pallas kernel has no int8
+    path: PIGO_TPU_POST_INT8=1 takes precedence (the jnp s8 walk runs)
+    so a benchmark never silently measures the wrong variant."""
     import os
 
-    return os.environ.get("PIGO_TPU_POST_PALLAS") == "1"
+    return (os.environ.get("PIGO_TPU_POST_PALLAS") == "1"
+            and not _patch_post_int8())
 
 
 def _patch_post_int8() -> bool:
@@ -444,7 +452,7 @@ def _device_detect_impl(
             pupil_geom=pupil_geom, lmk_geom=lmk_geom,
             lmk_cids=lmk_cids, lmk_flips=lmk_flips, patch_cfg=patch_cfg,
             pallas=patch_pallas, int8=patch_int8,
-            rotated=rotated, angle_idx=angle_idx,
+            rotated=rotated, angle_idx=angle_idx, face_valid=eyed,
         )
         post = post_full[:, :-1]
         povf = post_full[0, -1]
@@ -508,6 +516,7 @@ class FaceDetector:
         self._recent_face_counts: "collections.deque[int]" = (
             collections.deque(maxlen=8))
         self._face_bound = 0
+        self._bound_floor = 0  # ratchet: min bound after a patch overflow
         self.face = face if face is not None else FaceCascade()
         self.pupil = (
             pupil
@@ -562,15 +571,30 @@ class FaceDetector:
         2 + 15 sequential RunDetector calls per face,
         cmd/pigo/main.go:422-564)."""
         gray, rows, cols, dim = _coerce_image(gray, rows, cols)
+        face_src = gray
         if dim is not None and dim != cols:
-            # de-stride once (exact — see models/face.destride); the whole
-            # pipeline then runs the contiguous frame
+            # De-stride once (exact — see models/face.destride) and run the
+            # whole pipeline contiguous. Exception: TALL rotated frames
+            # keep the stride for FACE detection — the rotated cascade's
+            # nrows-1 column clamp reads stride-pad bytes there
+            # (run_cascade routes that case to the stride-honoring gather
+            # backend). The POST stage is stride-insensitive either way:
+            # the pupil/landmark walks clamp columns with ncols-1, so
+            # their reads never touch pad columns.
             from pigo_tpu.models.face import destride
 
             if dim < cols:
                 raise ValueError(f"dim {dim} < cols {cols}")
-            gray = destride(gray, rows, cols, dim)
-        faces = self.detect_faces(gray, rows, cols, params, angle, iou_threshold)
+            contiguous = destride(gray, rows, cols, dim)
+            if not (angle > 0.0 and rows > cols):
+                face_src = contiguous
+            else:
+                face_src = ImageParams(
+                    pixels=np.asarray(gray).reshape(-1), rows=rows,
+                    cols=cols, dim=dim)
+            gray = contiguous
+        faces = self.detect_faces(face_src, rows, cols, params, angle,
+                                  iou_threshold)
         key = key if key is not None else jax.random.PRNGKey(0)
         results = [
             FaceResult(face=face) for face in faces if face.q > Q_THRESH
@@ -818,6 +842,13 @@ class FaceDetector:
                 face_bound = min(cur, exact_bound)
             else:
                 face_bound = need
+            # a bound that patch-overflowed must never be re-tried: the
+            # ratchet floor (2x the failed bound, set at escalation time)
+            # guarantees progress even when the overflow came from a
+            # landmark anchor exceeding the ASCALE_BOUND_FACTOR estimate,
+            # which the face-scale-derived `need` can never see
+            face_bound = min(max(face_bound, self._bound_floor),
+                             exact_bound)
             self._face_bound = face_bound
         patch_cfg = None
         if _use_patch_post() and exact_bound > 0:
@@ -877,7 +908,10 @@ class FaceDetector:
             bigger = tuple(bigger)
             bound = exact_bound if patch_ovf else face_bound
             if patch_ovf:
-                # later frames must not re-try the bound that just failed
+                # later frames must not re-try the failed bound: ratchet
+                # the floor geometrically (converges in <= log2 steps)
+                self._bound_floor = max(self._bound_floor,
+                                        min(2 * face_bound, exact_bound))
                 self._face_bound = max(self._face_bound, bound)
             if bigger != tuple(caps) or bound != face_bound:
                 return self._collect_frame_device(self._dispatch_frame_device(

@@ -778,13 +778,21 @@ class FaceCascade:
         """Multi-scale detection pass. Returns [N, 4] (row, col, scale, q>0)
         in the reference's scan order (scale-major, then row, then col)."""
         dim = cols if dim is None else dim
-        if self.backend == "pallas" and dim != cols:
+        if self.backend == "pallas" and dim != cols and (
+            angle == 0.0 or rows <= cols
+        ):
             # Strided frames (reference ImageParams.Dim, core/pigo.go:29-34)
             # de-stride exactly: every classifier read lands in [0, cols)
             # (upright offsets |(code*s)>>8| < s/2 against the s/2+1 window
-            # margin; rotated reads are clamped below min(rows, cols)), so
-            # dropping the dim-cols pad columns changes no pixel any window
-            # can touch. The fast path then runs the contiguous frame.
+            # margin; rotated reads clamp columns with nrows-1 <= cols-1
+            # when rows <= cols), so dropping the dim-cols pad columns
+            # changes no pixel any window can touch. The fast path then
+            # runs the contiguous frame. TALL rotated strided frames
+            # (rows > cols) are excluded: there the reference's nrows-1
+            # column clamp reads stride-PAD bytes (flat index r*dim + c
+            # with c in [cols, nrows-1]), which destriding would replace
+            # with wrapped next-row pixels — those route to the gather
+            # backend below, which honors the stride natively.
             if dim < cols:
                 raise ValueError(f"dim {dim} < cols {cols}")
             pixels = destride(pixels, rows, cols, dim)

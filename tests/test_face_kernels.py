@@ -382,6 +382,30 @@ def test_pallas_rotated_wide_frame_quirk(face_forest, sample_gray,
                               want[:, 3].astype(np.float32)), angle
 
 
+def test_strided_rotated_tall_frame_exact(face_forest, sample_gray):
+    """A TALL rotated strided frame (rows > cols, dim > cols) must match
+    the oracle on the ORIGINAL strided buffer: the reference's nrows-1
+    column clamp reads stride-PAD bytes there (flat index r*dim + c with
+    c in [cols, nrows-1]), so destriding would silently substitute wrapped
+    next-row pixels — this case must route through the stride-honoring
+    gather backend."""
+    rows, cols, dim = 120, 60, 72
+    strided = np.full((rows, dim), 7, np.uint8)  # recognizable pad bytes
+    strided[:, :cols] = sample_gray[:rows, :cols]
+    fc = FaceCascade(face_forest, backend="pallas")
+    cfg = dict(min_size=30, max_size=100, shift_factor=0.2,
+               scale_factor=1.3)
+    for angle in (0.125, 0.5):
+        got = fc.run_cascade(strided.ravel(), rows, cols, dim,
+                             angle=angle, **cfg)
+        want = oracle_run_cascade(
+            face_forest, strided.ravel(), rows, cols, dim,
+            cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+            cfg["scale_factor"], angle=angle)
+        assert got.shape == want.shape, angle
+        assert np.array_equal(got, want), angle
+
+
 def test_native_run_band_matches_oracle(face_forest, sample_gray):
     """The native border-band scan (full grid minus interior rectangle)
     equals an explicit oracle scan of the same windows."""

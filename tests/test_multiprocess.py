@@ -25,12 +25,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_window_sharded_parity():
-    port = _free_port()
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    env["JAX_PLATFORMS"] = "cpu"
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(root, "tests", "_mp_worker.py")
+def _run_workers(port, env, root, worker):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(rank), str(port)],
@@ -39,10 +34,29 @@ def test_two_process_window_sharded_parity():
         )
         for rank in range(2)
     ]
+    return [p.communicate(timeout=850) + (p.returncode,) for p in procs]
+
+
+def test_two_process_window_sharded_parity():
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_mp_worker.py")
+    # _free_port closes its probe socket before the workers re-bind the
+    # port (unavoidable: jax.distributed needs a concrete address), so a
+    # concurrent process can steal it — retry with a fresh port
+    for attempt in range(3):
+        port = _free_port()
+        results = _run_workers(port, env, root, worker)
+        if all(rc == 0 for _, _, rc in results):
+            break
+        bind_race = any("bind" in err.lower() or "address" in err.lower()
+                        for _, err, rc in results if rc != 0)
+        if not bind_race or attempt == 2:
+            out, err, rc = next(r for r in results if r[2] != 0)
+            raise AssertionError(f"worker failed:\n{out}\n{err[-3000:]}")
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=850)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    for out, err, rc in results:
         lines = [l for l in out.splitlines() if l.startswith("DETS ")]
         assert len(lines) == 1, out
         outs.append(np.asarray(json.loads(lines[0][5:])))

@@ -492,6 +492,50 @@ def test_detect_patch_post_matches_gather(detector, sample_gray, monkeypatch):
         ]
 
 
+def test_pad_slot_overflow_masked(detector, sample_gray):
+    """Pad face slots (device path: the fixed safe pad anchor duplicated
+    from cluster 0) walk garbage landmark anchors whose ascale can exceed
+    the planned patches — their overflow must be masked by face_valid so a
+    1-face stream with 2+ slots never pays an escalation re-dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from pigo_tpu import detector as det_mod
+
+    rows, cols = sample_gray.shape
+    f = 2  # slot 0 real (small face), slot 1 pad (safe anchor, scale 100)
+    erow, ecol, escale = det_mod._device_eye_anchors(
+        jnp.asarray([210.0, 210.0], jnp.float32),
+        jnp.asarray([160.0, 160.0], jnp.float32),
+        jnp.asarray([55.0, 100.0], jnp.float32),  # pad slot: fixed 100
+    )
+    pg = detector.pupil.forest
+    pupil_geom = (pg.stages, pg.trees, pg.depth, float(pg.scale_mult))
+    lg = detector.landmarks.geometry
+    lmk_geom = (lg.stages, lg.trees, lg.depth, float(lg.scale_mult))
+    sched = detector.landmarks.point_schedule
+    lmk_cids = np.tile(np.array(
+        [detector.landmarks._name_to_id[n] for n, _ in sched], np.int32), f)
+    lmk_flips = np.tile(np.array([fl for _, fl in sched], bool), f)
+    # patches planned for a ~64 face bound: adequate for the real face,
+    # too small for the pad slot's landmark ascale
+    patch_cfg = det_mod._post_patch_cfg(rows, cols, 64, pupil_geom,
+                                        lmk_geom)
+    kw = dict(f=f, perturbs=7, rows=rows, cols=cols,
+              pupil_geom=pupil_geom, lmk_geom=lmk_geom,
+              lmk_cids=jnp.asarray(lmk_cids),
+              lmk_flips=jnp.asarray(lmk_flips), patch_cfg=patch_cfg)
+    args = (jax.random.PRNGKey(0), erow, ecol, escale,
+            jnp.asarray(sample_gray, jnp.uint8).reshape(-1),
+            detector.pupil.codes, detector.pupil.preds,
+            detector.landmarks.codes, detector.landmarks.preds)
+    masked = det_mod._fused_post_patch_impl(
+        *args, face_valid=jnp.asarray([True, False]), **kw)
+    assert float(masked[0, -1]) == 0.0, "pad slot overflow leaked"
+    # sanity: the pad slot genuinely overflows when counted
+    unmasked = det_mod._fused_post_patch_impl(*args, **kw)
+    assert float(unmasked[0, -1]) == 1.0
+
+
 def test_strided_image_params_fast_path(detector, sample_gray):
     """A strided frame (ImageParams.Dim > cols, core/pigo.go:29-34) runs
     through the production fast path and matches both the contiguous frame
