@@ -112,11 +112,12 @@ def _use_mxu_read() -> bool:
     vector-issue bound; the roll is its widest vector op). Exact: the
     one-hot has a single unit term per output row and the f32 matmul of
     unit weights reproduces the plane values bit-for-bit.
-    PIGO_TPU_MXU_READ=0/1 overrides the measured default."""
+    PIGO_TPU_MXU_READ=0/1 overrides. Default OFF until measured on real
+    hardware (an unmeasured variant must not decide the serving default)."""
     env = os.environ.get("PIGO_TPU_MXU_READ")
     if env is not None:
         return env != "0"
-    return jax.default_backend() != "cpu"
+    return False
 
 
 def _read_builder(planes_ref, row0, mxu_read):
