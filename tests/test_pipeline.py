@@ -216,6 +216,40 @@ def test_full_pipeline_rotated():
     assert len(r.landmarks) == 15
 
 
+def test_detect_stream_device_rotated(monkeypatch):
+    """The device-resident pipeline on a ROTATED stream (clamp-extended
+    planes + rotated patch post): faces exact vs detect(), eyes and
+    landmarks within ensemble-RNG tolerance."""
+    import jax
+    from pigo_tpu.detector import CascadeParams, FaceDetector
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+    from pigo_tpu.cascade.assets import asset_path
+
+    monkeypatch.setenv("PIGO_TPU_POST_PATCH", "1")
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    rows, cols = img.shape[0], img.shape[1]
+    gray = rgb_to_grayscale(img).reshape(rows, cols)
+    det = FaceDetector()
+    params = CascadeParams(100, 400, 0.2, 1.2)
+    key = jax.random.PRNGKey(3)
+    streamed = list(det.detect_stream_device(iter([gray]), params,
+                                             angle=0.06, key=key, depth=1))
+    assert len(streamed) == 1
+    want = det.detect(gray, rows, cols, params, angle=0.06,
+                      key=jax.random.fold_in(key, 0))
+    got = streamed[0]
+    assert len(got) == len(want) >= 1
+    for g, w in zip(got, want):
+        assert (g.face.row, g.face.col, g.face.scale) == \
+               (w.face.row, w.face.col, w.face.scale)
+        assert len(g.eyes) == len(w.eyes) == 2
+        for ge, we in zip(g.eyes, w.eyes):
+            assert abs(ge.row - we.row) <= 3 and abs(ge.col - we.col) <= 3
+        assert len(g.landmarks) == len(w.landmarks) == 15
+        for gp, wp in zip(g.landmarks, w.landmarks):
+            assert abs(gp.row - wp.row) <= 6 and abs(gp.col - wp.col) <= 6
+
+
 def test_full_pipeline_rotated_patch_post_parity(monkeypatch):
     """The rotated MXU patch post (rotated eye walks, upright landmark
     walks) must equal the rotated gather post exactly through detect():
