@@ -526,6 +526,20 @@ def test_detect_patch_post_matches_gather(detector, sample_gray, monkeypatch):
         ]
 
 
+def test_post_int8_overrides_pallas(monkeypatch):
+    """PIGO_TPU_POST_INT8=1 must take precedence over
+    PIGO_TPU_POST_PALLAS=1: the Pallas stage kernel has no int8 path, and
+    a benchmark must never silently measure the wrong variant."""
+    from pigo_tpu import detector as det_mod
+
+    monkeypatch.setenv("PIGO_TPU_POST_PALLAS", "1")
+    monkeypatch.setenv("PIGO_TPU_POST_INT8", "1")
+    assert det_mod._patch_post_pallas() is False
+    assert det_mod._patch_post_int8() is True
+    monkeypatch.setenv("PIGO_TPU_POST_INT8", "0")
+    assert det_mod._patch_post_pallas() is True
+
+
 def test_pad_slot_overflow_masked(detector, sample_gray):
     """Pad face slots (device path: the fixed safe pad anchor duplicated
     from cluster 0) walk garbage landmark anchors whose ascale can exceed
