@@ -344,13 +344,12 @@ class FaceCascade:
     def _fallback_hits(self, img2d, plan, rows, cols, min_size, max_size,
                        shift_factor, scale_factor, angle=0.0) -> np.ndarray:
         """Hits for the plan's host-side windows — whole fallback scales
-        plus, for rotated plans, the border bands of dense scales (where
-        the rotation clamps make node reads window-dependent). Host C++
+        (rotated border bands no longer exist: the clamp-extended planes
+        run the full grid on device, ops/face_pallas.ScalePlan). Host C++
         engine when available (overlaps the in-flight device computation),
         otherwise the exact gather kernel / vectorized NumPy oracle.
         Returns [N, 4] float64 rows."""
         fb_scales = [sp.scale for sp in plan.scales if sp.fallback]
-        bands = plan.border_bands
         nat = self._native_tail()
         parts = []
         if nat is not None:
@@ -359,11 +358,6 @@ class FaceCascade:
                 parts.append(nat.run_scales(
                     pix, rows, cols, np.asarray(fb_scales, np.int32),
                     shift_factor=shift_factor, angle=angle,
-                ))
-            if bands.size:
-                parts.append(nat.run_band(
-                    pix, rows, cols, bands, shift_factor=shift_factor,
-                    angle=angle,
                 ))
             return (np.concatenate(parts) if parts
                     else np.zeros((0, 4), np.float64))
@@ -388,45 +382,7 @@ class FaceCascade:
                 ],
                 axis=1,
             ))
-        if bands.size:
-            parts.append(self._border_hits_oracle(
-                np.asarray(img2d, np.uint8).ravel(), bands, rows, cols,
-                shift_factor, angle,
-            ))
         return (np.concatenate(parts) if parts
-                else np.zeros((0, 4), np.float64))
-
-    def _border_hits_oracle(self, pix, bands, rows, cols, shift_factor,
-                            angle) -> np.ndarray:
-        """Rotated border-band scan without the native engine: the
-        vectorized NumPy oracle classifies the band windows (few percent of
-        a scale's grid) exactly (reference core/pigo.go:150-191)."""
-        from pigo_tpu.oracle.face import oracle_classify_rotated_region
-
-        out = []
-        for scale, r_lo, r_hi, c_lo, c_hi in np.asarray(bands, np.int64):
-            k = int(max(shift_factor * scale, 1.0))
-            offset = int(scale) // 2 + 1
-            rr = np.arange(offset, rows - offset + 1, k, dtype=np.int64)
-            cc = np.arange(offset, cols - offset + 1, k, dtype=np.int64)
-            inside = (
-                ((rr >= r_lo) & (rr <= r_hi))[:, None]
-                & ((cc >= c_lo) & (cc <= c_hi))[None, :]
-            )
-            rw = np.repeat(rr, cc.size)[~inside.ravel()]
-            cw = np.tile(cc, rr.size)[~inside.ravel()]
-            if rw.size == 0:
-                continue
-            q = oracle_classify_rotated_region(
-                self.forest, rw, cw, int(scale), angle, rows, cols, pix, cols
-            )
-            hit = q > 0.0
-            out.append(np.stack(
-                [rw[hit].astype(np.float64), cw[hit].astype(np.float64),
-                 np.full(hit.sum(), scale, np.float64),
-                 q[hit].astype(np.float64)], axis=1,
-            ))
-        return (np.concatenate(out) if out
                 else np.zeros((0, 4), np.float64))
 
     def device_plan_arrays(self, rows, cols, min_size, max_size,
