@@ -10,48 +10,87 @@ clustering per frame — through the production serving pipeline
 in-flight pipelining so transfers overlap device compute), and prints ONE
 JSON line:
 
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "engine": ...}
 
 vs_baseline = reference_frame_time / our_frame_time (higher is better).
 Frames are distinct (rolled copies) so no cross-frame caching can hide work;
 the timing covers end-to-end wall: H2D, kernels, D2H, unpack, clustering.
+
+Un-killable contract (invariant #3): this script prints exactly one JSON
+line on stdout and exits 0 no matter what the accelerator does. The parent
+process probes the TPU with a subprocess + timeout (a dead axon tunnel makes
+jax.devices() HANG, not error), runs the real bench in a child with its own
+timeout, and on any failure degrades to the native C++ host engine — or, if
+that is also unavailable, emits a structured error line. Env knobs:
+
+    PIGO_TPU_BENCH_FRAMES        frames per timed run (default 64)
+    PIGO_TPU_BENCH_HD            "0" disables the secondary 1080p workload
+    PIGO_TPU_BENCH_PROBE_TIMEOUT seconds per TPU probe (default 120)
+    PIGO_TPU_BENCH_TIMEOUT       seconds for the child bench run (default 3000)
+    PIGO_TPU_FORCE_BACKEND_ERROR test hook: pretend the TPU probe failed
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 REFERENCE_FRAME_SECONDS = 0.173664832  # BASELINE.md / README.md:223-231
 
 DEPTH = 8
-N_FRAMES = 64
+N_FRAMES = int(os.environ.get("PIGO_TPU_BENCH_FRAMES", "64"))
+METRIC = "face_detection_frames_per_second"
+
+CFG = dict(min_size=20, max_size=1000, shift_factor=0.1, scale_factor=1.1)
 
 
-def main() -> int:
+def _emit(value: float, unit: str, engine: str, **extra) -> int:
+    line = {
+        "metric": METRIC,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(REFERENCE_FRAME_SECONDS * value, 2),
+        "engine": engine,
+    }
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+    return 0
+
+
+def _headline_frames():
     import numpy as np
 
     from pigo_tpu.io.image import get_image, rgb_to_grayscale
-    from pigo_tpu.models.face import FaceCascade
-    from pigo_tpu.ops.cluster import cluster_detections
 
     img = get_image("assets/testdata/sample.jpg")
     rows, cols = img.shape[0], img.shape[1]
     gray = rgb_to_grayscale(img).reshape(rows, cols)
-
-    fc = FaceCascade()
-    cfg = dict(min_size=20, max_size=1000, shift_factor=0.1, scale_factor=1.1)
-
-    # Distinct frames: horizontal rolls of the test portrait.
     frames = [np.roll(gray, i % 8, axis=1) for i in range(N_FRAMES)]
+    return gray, frames, rows, cols
+
+
+# --------------------------------------------------------------- TPU child
+
+
+def tpu_run() -> int:
+    """The real TPU bench (child process). Prints the one JSON line."""
+    import numpy as np
+
+    from pigo_tpu.models.face import FaceCascade
+    from pigo_tpu.ops.cluster import cluster_detections
+
+    gray, frames, rows, cols = _headline_frames()
+    fc = FaceCascade()
 
     # warmup / compile
-    dets = fc.run_cascade(gray, rows, cols, **cfg)
+    dets = fc.run_cascade(gray, rows, cols, **CFG)
     n_dets = dets.shape[0]
     clusters = cluster_detections(dets, 0.2)
     assert clusters.shape[0] >= 1, "benchmark sanity: no face found"
-    warm = list(fc.stream_hits(frames[:2], depth=DEPTH, **cfg))
+    warm = list(fc.stream_hits(frames[:2], depth=DEPTH, **CFG))
     assert np.array_equal(warm[0], dets), "stream parity sanity"
 
     from pigo_tpu.utils.profiling import FpsMeter, PipelineStats
@@ -63,7 +102,7 @@ def main() -> int:
     t0 = time.perf_counter()
     n_clusters = 0
     with stats.stage("stream_hits+cluster", items=N_FRAMES * plan.num_windows):
-        for frame_dets in fc.stream_hits(frames, depth=DEPTH, **cfg):
+        for frame_dets in fc.stream_hits(frames, depth=DEPTH, **CFG):
             with stats.stage("cluster", items=frame_dets.shape[0]):
                 n_clusters += cluster_detections(frame_dets, 0.2).shape[0]
             fps_roll = meter.tick()
@@ -73,20 +112,156 @@ def main() -> int:
     # machine-read result and stays on stdout)
     print(f"rolling fps (FpsMeter): {fps_roll:.1f}", file=sys.stderr)
     stats.report(file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "face_detection_frames_per_second",
-                "value": round(1.0 / dt, 2),
-                "unit": f"frames/s (full {plan.num_windows}-window pyramid "
-                        f"320x400 + clustering, streamed depth={DEPTH}, "
-                        f"end-to-end wall; {n_dets} raw dets/frame)",
-                "vs_baseline": round(REFERENCE_FRAME_SECONDS / dt, 2),
-            }
-        )
+
+    # Secondary driver-visible workload (VERDICT r3 #9): a 1080p realistic
+    # frame, reported as extra fields on the same single line so pyramid
+    # regressions off the 320x400 sample are caught by the recorded number.
+    extra = {}
+    if os.environ.get("PIGO_TPU_BENCH_HD", "1") != "0":
+        try:
+            n_hd = max(4, min(24, N_FRAMES // 2))
+            hd = np.tile(gray, (1080 // rows + 1, 1920 // cols + 1))
+            hd = hd[:1080, :1920]
+            hdf = [np.roll(hd, i % 8, axis=1) for i in range(n_hd)]
+            hd_kw = dict(min_size=40, max_size=1080, shift_factor=0.1,
+                         scale_factor=1.1)
+            list(fc.stream_hits(hdf[:2], depth=2, **hd_kw))  # warmup
+            t0 = time.perf_counter()
+            n_hits = sum(h.shape[0] for h in
+                         fc.stream_hits(hdf, depth=6, **hd_kw))
+            hd_dt = (time.perf_counter() - t0) / n_hd
+            assert n_hits >= n_hd  # faces present in every tiled frame
+            extra = {"hd1080_ms": round(hd_dt * 1e3, 2),
+                     "hd1080_fps": round(1.0 / hd_dt, 2)}
+        except Exception as e:  # secondary workload must not kill the line
+            extra = {"hd1080_error": f"{type(e).__name__}: {e}"[:200]}
+
+    return _emit(
+        1.0 / dt,
+        f"frames/s (full {plan.num_windows}-window pyramid 320x400 + "
+        f"clustering, streamed depth={DEPTH}, end-to-end wall; "
+        f"{n_dets} raw dets/frame)",
+        "tpu",
+        **extra,
     )
-    return 0
+
+
+# ------------------------------------------------------- degraded fallback
+
+
+def native_fallback(reason: str) -> int:
+    """TPU unavailable: same workload on the native C++ host engine."""
+    os.environ.setdefault("PIGO_TPU_PLATFORM", "cpu")
+    from pigo_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    from pigo_tpu.native import (NativeFaceCascade, NativeUnavailable,
+                                 native_cluster)
+
+    if os.environ.get("PIGO_TPU_NO_NATIVE"):
+        raise NativeUnavailable("disabled by PIGO_TPU_NO_NATIVE")
+
+    gray, frames, rows, cols = _headline_frames()
+    frames = frames[: min(len(frames), 32)]
+    eng = NativeFaceCascade()
+    dets = eng.run_cascade(gray, rows, cols, **CFG)
+    assert native_cluster(dets, 0.2).shape[0] >= 1, "no face found (native)"
+    t0 = time.perf_counter()
+    for f in frames:
+        d = eng.run_cascade(f, rows, cols, **CFG)
+        native_cluster(d, 0.2)
+    dt = (time.perf_counter() - t0) / len(frames)
+    return _emit(
+        1.0 / dt,
+        f"frames/s (full pyramid 320x400 + clustering, native host engine; "
+        f"{dets.shape[0]} raw dets/frame)",
+        "native-cpp",
+        tpu_fallback_reason=reason[:200],
+    )
+
+
+# ------------------------------------------------------------------ parent
+
+
+def probe_tpu(timeout: float) -> tuple[bool, str]:
+    """Ask a subprocess for the default backend; a hang counts as down."""
+    if os.environ.get("PIGO_TPU_FORCE_BACKEND_ERROR"):
+        return False, "forced backend error (PIGO_TPU_FORCE_BACKEND_ERROR)"
+    if os.environ.get("PIGO_TPU_PLATFORM", "").lower() == "cpu":
+        return False, "platform pinned to cpu (PIGO_TPU_PLATFORM)"
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"tpu probe hung >{timeout:.0f}s (tunnel down)"
+    platform = (out.stdout or "").strip().splitlines()[-1:] or [""]
+    if out.returncode == 0 and platform[0] in ("tpu", "axon"):
+        return True, platform[0]
+    err = (out.stderr or "").strip().splitlines()[-1:] or ["unknown"]
+    return False, f"tpu probe rc={out.returncode}: {err[0]}"
+
+
+def main() -> int:
+    probe_timeout = float(os.environ.get("PIGO_TPU_BENCH_PROBE_TIMEOUT", "120"))
+    run_timeout = float(os.environ.get("PIGO_TPU_BENCH_TIMEOUT", "3000"))
+
+    ok, reason = probe_tpu(probe_timeout)
+    if not ok and "pinned" not in reason and "forced" not in reason:
+        print(f"bench: tpu probe failed ({reason}); retrying once",
+              file=sys.stderr)
+        time.sleep(min(30.0, probe_timeout / 4))
+        ok, reason = probe_tpu(probe_timeout)
+
+    if ok:
+        try:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-run"],
+                stdout=subprocess.PIPE, text=True, timeout=run_timeout,
+            )
+            for line in reversed((child.stdout or "").splitlines()):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(parsed, dict) and parsed.get("metric") == METRIC:
+                    print(line, flush=True)
+                    return 0
+            reason = f"tpu bench rc={child.returncode}, no result line"
+        except subprocess.TimeoutExpired:
+            reason = f"tpu bench hung >{run_timeout:.0f}s"
+        print(f"bench: tpu run failed ({reason}); degrading to native engine",
+              file=sys.stderr)
+
+    try:
+        return native_fallback(reason)
+    except Exception as e:
+        print(json.dumps({
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "engine": "none",
+            "error": f"{reason}; native fallback failed: "
+                     f"{type(e).__name__}: {e}"[:400],
+        }), flush=True)
+        return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--tpu-run" in sys.argv[1:]:
+        sys.exit(tpu_run())
+    try:
+        sys.exit(main())
+    except Exception as e:  # the line must survive anything
+        print(json.dumps({
+            "metric": METRIC,
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "engine": "none",
+            "error": f"bench driver crashed: {type(e).__name__}: {e}"[:400],
+        }), flush=True)
+        sys.exit(0)

@@ -219,7 +219,9 @@ def _use_patch_post() -> bool:
     env = os.environ.get("PIGO_TPU_POST_PATCH")
     if env is not None:
         return env != "0"
-    return jax.default_backend() != "cpu"
+    from pigo_tpu.utils.platform import backend_platform
+
+    return backend_platform() != "cpu"
 
 
 def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom,

@@ -65,10 +65,12 @@ class FaceCascade:
         self.block = block
         self.backend = backend
         # Pallas interpret mode: automatic on non-TPU backends (CPU tests).
+        from pigo_tpu.utils.platform import backend_platform
+
         self.interpret = (
             interpret
             if interpret is not None
-            else jax.default_backend() not in ("tpu", "axon")
+            else backend_platform() not in ("tpu", "axon")
         )
         # Tree-prefix tail mode: sparse tail scales stay on device
         # (PREFIX_TREES trees densely, survivors finished on host by the

@@ -15,6 +15,24 @@ from __future__ import annotations
 import os
 
 
+def backend_platform(default: str = "cpu") -> str:
+    """`jax.default_backend()` that never raises.
+
+    Backend-plugin init failures (e.g. an accelerator tunnel answering
+    UNAVAILABLE) map to `default`; callers treat non-TPU platforms as the
+    CPU/interpret configuration, so a dead accelerator degrades instead of
+    killing constructors (the BENCH_r03 failure mode: FaceCascade.__init__
+    propagated the plugin's RuntimeError). Note this cannot defend against
+    a backend probe that *hangs* — process-level entry points (bench.py)
+    guard that case with a subprocess probe + timeout."""
+    import jax
+
+    try:
+        return jax.default_backend()
+    except Exception:
+        return default
+
+
 def apply_platform_env() -> str | None:
     """Pin the JAX platform from `PIGO_TPU_PLATFORM`, if set.
 
