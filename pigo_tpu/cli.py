@@ -177,7 +177,8 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         if args.dest != "empty":
-            annotated = draw_results(img, results, args.marker, args.mark_eyes)
+            annotated = draw_results(img, results, args.marker,
+                                     args.mark_eyes, angle=args.angle)
             out_img = Image.fromarray(annotated)
             if args.dest == PIPE:
                 if sys.stdout.isatty():
