@@ -34,19 +34,75 @@ from pigo_tpu.oracle.pupil import make_perturbations, oracle_run_detector
 # Reference test configuration (core/pigo_test.go:44-50).
 REF_CFG = dict(min_size=20, max_size=1000, shift_factor=0.2, scale_factor=1.1)
 REF_IOU = 0.1
-# Frozen rotated-path fixture angle (fraction of 2*pi; exercises the
+# Frozen rotated-path fixture angles (fractions of 2*pi; exercise the
 # quantized rotation tables and the nrows-clamp quirk, core/pigo.go:150-191).
+# The first is the legacy `detections_rotated` angle; every angle is frozen
+# in the `rotations` list.
 GOLDEN_ANGLE = 0.07
+ROT_ANGLES = (GOLDEN_ANGLE, 0.125)
 PERTURBS = 63
 # (fixture name, image, config): the reference test config for both images
 # (test.png freezes the agreed-empty result) plus the headline shift-0.1
-# pyramid (218k windows) for a denser fixture.
+# pyramid (218k windows) for a denser fixture, plus synthetic frames
+# (`synth:*`, built deterministically by synth_image) covering a wide
+# multi-face landscape, a strided-Dim buffer (row stride > cols,
+# reference ImageParams.Dim, core/pigo.go:29-34), and an alpha-carrying
+# RGBA image (premultiplied grayscale, core/grayscale.go:8-23).
 FIXTURES = (
     ("sample", "sample.jpg", REF_CFG),
     ("test", "test.png", REF_CFG),
     ("sample_dense", "sample.jpg",
      dict(min_size=20, max_size=1000, shift_factor=0.1, scale_factor=1.1)),
+    ("wide", "synth:wide",
+     dict(min_size=60, max_size=200, shift_factor=0.1, scale_factor=1.1)),
+    ("strided", "synth:strided", REF_CFG),
+    ("alpha", "synth:alpha", REF_CFG),
 )
+
+STRIDE_PAD = 37  # synth:strided row stride = cols + STRIDE_PAD
+
+
+def synth_image(name: str) -> tuple[np.ndarray, int | None]:
+    """Deterministic synthetic fixture frames derived from sample.jpg.
+
+    Returns (image, dim): `image` feeds rgb_to_grayscale (RGB/RGBA [H, W, C]
+    or raw grayscale [H, W]); `dim` is the grayscale row stride when it
+    differs from the frame width (reference ImageParams.Dim), else None.
+    Construction uses only integer striding / tiling + a seeded Generator so
+    the frames are reproducible on any platform.
+    """
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    if name == "synth:wide":
+        # 200x640 landscape with 4 faces: 2x-subsampled portrait (face scale
+        # ~119) tiled horizontally.
+        return np.tile(img[::2, ::2], (1, 4, 1)), None
+    if name == "synth:strided":
+        # Grayscale buffer whose row stride exceeds the frame width; the pad
+        # columns hold noise every engine must ignore (windows never read
+        # past cols — models/face.py destride docstring).
+        gray2d = rgb_to_grayscale(img).reshape(img.shape[0], img.shape[1])
+        rng = np.random.default_rng(zlib.crc32(b"synth:strided"))
+        pad = rng.integers(0, 256, (img.shape[0], STRIDE_PAD), dtype=np.uint8)
+        return np.concatenate([gray2d, pad], axis=1), img.shape[1] + STRIDE_PAD
+    if name == "synth:alpha":
+        # RGBA with a non-trivial alpha gradient (160..255 top to bottom):
+        # exercises the premultiplied 16-bit grayscale path.
+        h, w = img.shape[0], img.shape[1]
+        alpha = np.repeat(
+            np.linspace(160, 255, h).astype(np.uint8)[:, None], w, axis=1)
+        return np.dstack([img[..., :3], alpha]), None
+    raise ValueError(f"unknown synthetic image {name!r}")
+
+
+def fixture_frame(image_name: str) -> tuple[np.ndarray, int, int, int]:
+    """Resolve a fixture's `image` field -> (flat gray, rows, cols, dim)."""
+    if image_name.startswith("synth:"):
+        img, dim = synth_image(image_name)
+    else:
+        img, dim = get_image(asset_path("testdata", image_name)), None
+    rows = img.shape[0]
+    cols = img.shape[1] if dim is None else img.shape[1] - STRIDE_PAD
+    return rgb_to_grayscale(img), rows, cols, (dim or cols)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "tests",
                           "golden")
@@ -95,30 +151,36 @@ def build_golden(tag: str, image_name: str, cfg: dict) -> dict:
     forest = load_facefinder()
     puploc = load_puploc()
     lps = load_landmark_dir()
-    img = get_image(asset_path("testdata", image_name))
-    rows, cols = img.shape[0], img.shape[1]
-    gray = rgb_to_grayscale(img)
+    gray, rows, cols, dim = fixture_frame(image_name)
 
     dets = oracle_run_cascade(
-        forest, gray, rows, cols, cols, cfg["min_size"],
+        forest, gray, rows, cols, dim, cfg["min_size"],
         cfg["max_size"], cfg["shift_factor"], cfg["scale_factor"],
     )
     clusters = oracle_cluster_detections(dets, REF_IOU)
-    rot = oracle_run_cascade(
-        forest, gray, rows, cols, cols, cfg["min_size"],
-        cfg["max_size"], cfg["shift_factor"], cfg["scale_factor"],
-        angle=GOLDEN_ANGLE,
-    )
+    rotations = [
+        oracle_run_cascade(
+            forest, gray, rows, cols, dim, cfg["min_size"],
+            cfg["max_size"], cfg["shift_factor"], cfg["scale_factor"],
+            angle=a,
+        )
+        for a in ROT_ANGLES
+    ]
 
     out = {
         "image": image_name,
         "rows": rows,
         "cols": cols,
+        "dim": dim,
         "config": dict(cfg, iou=REF_IOU, angle=GOLDEN_ANGLE,
                        perturbs=PERTURBS),
         "detections": dets.tolist(),
         "clusters": clusters.tolist(),
-        "detections_rotated": rot.tolist(),
+        "detections_rotated": rotations[0].tolist(),
+        "rotations": [
+            {"angle": a, "detections": r.tolist()}
+            for a, r in zip(ROT_ANGLES, rotations)
+        ],
         "faces": [],
     }
 
@@ -132,10 +194,10 @@ def build_golden(tag: str, image_name: str, cfg: dict) -> dict:
         u = golden_uniforms(f"{tag}:face{fi}:eyes", 2)
         left = oracle_run_detector(
             puploc, make_perturbations(lr, lc, ls, u[0]), rows, cols, gray,
-            cols)
+            dim)
         right = oracle_run_detector(
             puploc, make_perturbations(rr_, rc, rs, u[1]), rows, cols, gray,
-            cols)
+            dim)
         face_rec = {
             "face": [fr, fc, fs, float(q)],
             "eyes": [list(left[:2]) + [float(left[2])],
@@ -149,7 +211,7 @@ def build_golden(tag: str, image_name: str, cfg: dict) -> dict:
             for j, (name, flip) in enumerate(sched):
                 p = oracle_run_detector(
                     lps[name], make_perturbations(ar, ac, asc, ul[j]),
-                    rows, cols, gray, cols, flip_v=flip)
+                    rows, cols, gray, dim, flip_v=flip)
                 face_rec["landmarks"].append(
                     [name, bool(flip), p[0], p[1], float(p[2])])
         out["faces"].append(face_rec)
