@@ -11,6 +11,14 @@ Covers both reference web surfaces in one server:
                 e = eyes, f = landmarks, c = boxes; plus an FPS meter.
   * `/detect` — POST image bytes -> JSON detection results (the reference
                 JSON schema, cmd/pigo/main.go:89-100).
+  * `/?engine=client` — fully client-side detection: the pure-JS PICO
+                engine (static/pico.js) runs faces/pupils/landmarks in the
+                browser with NO server round trip (the reference WASM
+                surface, wasm/detector/detector.go:33-190); cascades are
+                served at `/cascade/...` like the reference dev server
+                (wasm/http/serve.go:17-57).
+  * `/selftest` — in-browser engine verification: pico.js vs the frozen
+                golden fixture (bit-exact face path, tolerance ensembles).
 
     python examples/web/main.py --source video.mp4 --port 5000
 """
@@ -37,10 +45,14 @@ canvas { border: 1px solid #444 }
 </style></head><body>
 <h3>pigo-tpu — browser webcam detection</h3>
 <p>keys: <b>c</b> boxes | <b>e</b> pupils | <b>f</b> landmarks &nbsp;
-<span id="fps">0</span> FPS</p>
+<span id="fps">0</span> FPS &nbsp; <span id="engine"></span></p>
 <video id="v" autoplay playsinline style="display:none"></video>
 <canvas id="cv" width="640" height="480"></canvas>
-<p>No webcam? Watch the server-side stream at <a href="/cam">/cam</a>.</p>
+<p>No webcam? Watch the server-side stream at <a href="/cam">/cam</a>.
+Engine: <a href="/?engine=server">server</a> |
+<a href="/?engine=client">client (pico.js, no round trips)</a> |
+<a href="/selftest">self-test</a></p>
+<script src="/static/pico.js"></script>
 <script>
 const v = document.getElementById('v'), cv = document.getElementById('cv');
 const ctx = cv.getContext('2d');
@@ -70,10 +82,36 @@ function draw(dets) {
     frames = 0; last = now;
   }
 }
-// Pipelined loop: keep up to DEPTH detect requests in flight so the
-// network+device round trips of consecutive frames overlap (the server's
-// stream engine pipelines them on the device). Responses are applied in
-// send order.
+// Two engines share the draw path:
+//  * server: POST frames to /detect, DEPTH requests pipelined in flight so
+//    network+device round trips of consecutive frames overlap.
+//  * client: the pure-JS PICO engine (pico.js) detects in-page with no
+//    server round trip — the reference WASM surface and its config
+//    (MinSize 200, MaxSize 480, shift 0.1, scale 1.1, IoU 0.1, q>50;
+//    wasm/detector/detector.go:149-172, canvas.go:196).
+const CLIENT = new URLSearchParams(location.search).get('engine') === 'client';
+document.getElementById('engine').textContent =
+  CLIENT ? 'engine: client (pico.js)' : 'engine: server';
+let models = null;
+function toJson(r) {
+  const d = {face: {x: r.face.col - (r.face.scale >> 1),
+                    y: r.face.row - (r.face.scale >> 1), size: r.face.scale}};
+  if (r.eyes.length) d.eyes = r.eyes.map(e =>
+    ({x: e.col, y: e.row, size: Math.trunc(e.scale)}));
+  if (r.landmarks.length) d.landmark_points = r.landmarks.map(p =>
+    ({x: p.col, y: p.row, size: Math.trunc(p.scale)}));
+  return d;
+}
+function pumpClient() {
+  ctx.drawImage(v, 0, 0, cv.width, cv.height);
+  const id = ctx.getImageData(0, 0, cv.width, cv.height);
+  const gray = PicoTPU.grayscaleRec709(id.data, cv.width, cv.height);
+  const res = PicoTPU.detectAll(models, gray, cv.height, cv.width, {
+    minSize: 200, maxSize: 480, shiftFactor: 0.1, scaleFactor: 1.1,
+    iouThreshold: 0.1, qThresh: 50.0});
+  draw(res.map(toJson));
+  setTimeout(pumpClient, 0);
+}
 const DEPTH = 3;
 let inflight = 0;
 async function pump() {
@@ -90,8 +128,10 @@ async function pump() {
   }
 }
 function loop() { while (inflight < DEPTH) pump(); }
-navigator.mediaDevices.getUserMedia({video: true}).then(s => {
-  v.srcObject = s; v.onloadedmetadata = () => loop();
+navigator.mediaDevices.getUserMedia({video: true}).then(async s => {
+  v.srcObject = s;
+  if (CLIENT) models = await PicoTPU.loadModels('');
+  v.onloadedmetadata = () => CLIENT ? pumpClient() : loop();
 }).catch(e => document.body.innerHTML += '<p>webcam unavailable: ' + e + '</p>');
 </script></body></html>
 """
@@ -128,14 +168,77 @@ def annotate(cv2, frame, results):
             cv2.circle(frame, (int(p[1]), int(p[0])), 2, (255, 255, 0), -1)
 
 
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+REPO_ROOT = os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+
+def _sample_gray_packet() -> bytes:
+    """sample.jpg's exact grayscale plane (u32 rows, u32 cols LE + pixels):
+    gives the in-browser self-test a bit-identical frame (canvas JPEG
+    decoders differ by +/-1 LSB from PIL, which would break golden parity)."""
+    import struct
+
+    from pigo_tpu.cascade.assets import asset_path
+    from pigo_tpu.io.image import get_image, rgb_to_grayscale
+
+    img = get_image(asset_path("testdata", "sample.jpg"))
+    gray = rgb_to_grayscale(img)
+    return struct.pack("<II", img.shape[0], img.shape[1]) + gray.tobytes()
+
+
 def make_handler(engine, args, lock, stats, meter):
     import cv2
+
+    from pigo_tpu.cascade.assets import asset_path
+
+    gray_packet = _sample_gray_packet()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # request log like wasm/http/serve.go:45
             sys.stderr.write("%s - %s\n" % (self.address_string(), fmt % a))
 
+        def _send_bytes(self, body: bytes, ctype: str):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_file(self, path: str, ctype: str):
+            if not os.path.isfile(path):
+                self.send_error(404)
+                return
+            with open(path, "rb") as fh:
+                self._send_bytes(fh.read(), ctype)
+
         def do_GET(self):
+            # Static client engine + cascade assets (the reference serves
+            # /cascade/ the same way, wasm/http/serve.go:17-57).
+            if self.path.startswith("/static/"):
+                name = os.path.basename(self.path)
+                ctype = ("text/javascript" if name.endswith(".js")
+                         else "text/html")
+                self._send_file(os.path.join(STATIC_DIR, name), ctype)
+                return
+            if self.path == "/selftest":
+                self._send_file(os.path.join(STATIC_DIR, "selftest.html"),
+                                "text/html")
+                return
+            if self.path.startswith("/cascade/"):
+                parts = [p for p in self.path.split("/")[2:]
+                         if p and p not in (".", "..")]
+                self._send_file(asset_path("cascade", *parts),
+                                "application/octet-stream")
+                return
+            if self.path == "/golden/sample.json":
+                self._send_file(
+                    os.path.join(REPO_ROOT, "tests", "golden", "sample.json"),
+                    "application/json")
+                return
+            if self.path == "/testdata/sample.gray":
+                self._send_bytes(gray_packet, "application/octet-stream")
+                return
             if self.path == "/stats":
                 payload = dict(stats.as_dict(), fps=round(meter.value, 1))
                 body = json.dumps(payload).encode()
@@ -144,7 +247,7 @@ def make_handler(engine, args, lock, stats, meter):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            elif self.path == "/":
+            elif self.path.split("?", 1)[0] == "/":
                 body = PAGE.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
