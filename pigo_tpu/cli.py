@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mark detected eyes")
     p.add_argument("-json", dest="jsonf", default="",
                    help="Output the detection points into a json file")
+    p.add_argument("-json-accumulate", dest="json_accumulate",
+                   action="store_true",
+                   help="Bug-for-bug reference JSON: face i carries the "
+                        "eye/landmark points of faces 0..i (the reference "
+                        "CLI never resets its coord slices, "
+                        "cmd/pigo/main.go:363-365)")
     p.add_argument("-seed", type=int, default=0,
                    help="PRNG seed for the perturbation ensemble")
     return p
@@ -198,6 +204,10 @@ def main(argv: list[str] | None = None) -> int:
 
         spinner.stop()
         payload = [r.to_json_dict() for r in results]
+        if args.json_accumulate:
+            from pigo_tpu.detector import accumulate_json_payload
+
+            payload = accumulate_json_payload(payload)
         if args.jsonf:
             text = json.dumps(payload)
             if args.jsonf == PIPE:

@@ -14,7 +14,9 @@ Mirrors the reference CLI pipeline (/root/reference/cmd/pigo/main.go):
 Deviation from the reference (documented): the reference CLI accumulates the
 eye/landmark coordinate slices ACROSS faces, so face i's JSON contains every
 eye found for faces 0..i (main.go:363-365 never resets them); here each face
-reports only its own points.
+reports only its own points by default. `accumulate_json_payload` (CLI flag
+`-json-accumulate`) reproduces the reference quirk bug-for-bug when byte-level
+JSON parity is needed.
 """
 
 from __future__ import annotations
@@ -112,6 +114,30 @@ class FaceResult:
                 for p in self.landmarks
             ]
         return out
+
+
+def accumulate_json_payload(payload: list[dict]) -> list[dict]:
+    """Reproduce the reference CLI's cross-face accumulation quirk
+    bug-for-bug: `drawFaces` allocates one eyesCoords/landmarkCoords slice
+    for the whole image and never resets them between faces
+    (cmd/pigo/main.go:363-365), and each face's detection struct snapshots
+    the grown slice (main.go:568-572) — so face i's JSON carries every eye
+    and landmark point found for faces 0..i. A face with no eyes of its own
+    still reports all earlier ones. Off by default (each face reports only
+    its own points); the CLI's `-json-accumulate` flag turns it on."""
+    eyes: list[dict] = []
+    lms: list[dict] = []
+    out: list[dict] = []
+    for d in payload:
+        d = dict(d)
+        eyes.extend(d.pop("eyes", []))
+        lms.extend(d.pop("landmark_points", []))
+        if eyes:
+            d["eyes"] = list(eyes)
+        if lms:
+            d["landmark_points"] = list(lms)
+        out.append(d)
+    return out
 
 
 def _eye_anchor_offsets(s: int) -> tuple[int, int, int]:

@@ -107,6 +107,38 @@ def test_cli_json_output(tmp_path):
     assert out.exists() and out.stat().st_size > 1000
 
 
+def test_json_accumulate_quirk():
+    """-json-accumulate reproduces the reference CLI's never-reset coord
+    slices (cmd/pigo/main.go:363-365, :568-572): face i's JSON carries the
+    eye/landmark points of faces 0..i, and a face with none of its own
+    still reports all earlier ones."""
+    from pigo_tpu.cli import build_parser
+    from pigo_tpu.detector import accumulate_json_payload
+
+    e = [{"x": 10, "y": 20, "size": 3}, {"x": 30, "y": 40, "size": 3},
+         {"x": 50, "y": 60, "size": 4}]
+    lm = [{"x": 1, "y": 2, "size": 5}, {"x": 3, "y": 4, "size": 6}]
+    payload = [
+        {"face": {"x": 0, "y": 0, "size": 100}, "eyes": e[:2],
+         "landmark_points": lm[:1]},
+        {"face": {"x": 200, "y": 0, "size": 90}},  # nothing of its own
+        {"face": {"x": 400, "y": 0, "size": 80}, "eyes": e[2:],
+         "landmark_points": lm[1:]},
+    ]
+    acc = accumulate_json_payload(payload)
+    assert acc[0] == payload[0]
+    assert acc[1] == {"face": {"x": 200, "y": 0, "size": 90},
+                      "eyes": e[:2], "landmark_points": lm[:1]}
+    assert acc[2] == {"face": {"x": 400, "y": 0, "size": 80},
+                      "eyes": e, "landmark_points": lm}
+    # input payload is not mutated, per-face lists are independent copies
+    assert "eyes" not in payload[1] and acc[0]["eyes"] is not acc[1]["eyes"]
+    # the flag parses (off by default)
+    args = build_parser().parse_args(["-in", "x", "-json-accumulate"])
+    assert args.json_accumulate is True
+    assert build_parser().parse_args(["-in", "x"]).json_accumulate is False
+
+
 def test_detect_multi_face():
     """Two faces in one frame: the fused post stage localizes eyes and the
     full 15-point landmark set for both."""
