@@ -8,8 +8,12 @@ grayscale conversion.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from pigo_tpu.cascade.assets import asset_path, load_facefinder, load_puploc
 from pigo_tpu.io.image import get_image, rgb_to_grayscale
@@ -191,3 +195,52 @@ def test_jitter_deterministic(npl):
     # jitter ranges (core/puploc.go:248-250)
     assert np.all(np.abs(a[:, 0] - 100.0) <= 0.15 * 30.0 * 0.5 + 1e-4)
     assert np.all((a[:, 2] >= 30.0 * 0.925 - 1e-3) & (a[:, 2] <= 30.0 * 1.075))
+
+
+def test_simd_scalar_equivalence(sample):
+    """The AVX-512 phased classifiers and the scalar walks must agree
+    bit-for-bit (native/pigo_native.cpp `simd` namespace). The env gate is
+    read once per process, so the scalar side runs in a subprocess with
+    PIGO_NATIVE_SIMD=0 (which is also the escape hatch a non-AVX-512 host
+    would take automatically)."""
+    import json
+    import subprocess
+    import sys
+
+    _, gray, rows, cols = sample
+    eng = native.NativeFaceCascade()
+    loc = native.NativePupilLocalizer()
+    cfg = dict(min_size=20, max_size=1000, shift_factor=0.1,
+               scale_factor=1.1)
+    dets = {a: eng.run_cascade(gray, rows, cols, angle=a, **cfg).tolist()
+            for a in (0.0, 0.125)}
+    starts = loc.jitter(184.0, 152.0, 60.0, perturbs=33, seed=3)
+    pup = {a: list(loc.run_detector(starts, gray, rows, cols, angle=a))
+           for a in (0.0, 0.125)}
+
+    prog = """
+import json, sys
+sys.path.insert(0, %r)
+import numpy as np
+from pigo_tpu.io.image import get_image, rgb_to_grayscale
+from pigo_tpu.native import NativeFaceCascade, NativePupilLocalizer
+img = get_image(%r)
+rows, cols = img.shape[:2]
+gray = rgb_to_grayscale(img).reshape(rows, cols)
+eng = NativeFaceCascade(); loc = NativePupilLocalizer()
+cfg = dict(min_size=20, max_size=1000, shift_factor=0.1, scale_factor=1.1)
+dets = {str(a): eng.run_cascade(gray, rows, cols, angle=a, **cfg).tolist()
+        for a in (0.0, 0.125)}
+starts = loc.jitter(184.0, 152.0, 60.0, perturbs=33, seed=3)
+pup = {str(a): list(loc.run_detector(starts, gray, rows, cols, angle=a))
+       for a in (0.0, 0.125)}
+print(json.dumps({"dets": dets, "pup": pup}))
+""" % (REPO_ROOT, asset_path("testdata", "sample.jpg"))
+    env = dict(os.environ, PIGO_NATIVE_SIMD="0", PIGO_TPU_PLATFORM="cpu")
+    p = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=300, env=env)
+    assert p.returncode == 0, p.stderr[-800:]
+    scalar = json.loads(p.stdout.splitlines()[-1])
+    for a in (0.0, 0.125):
+        assert scalar["dets"][str(a)] == dets[a]
+        assert scalar["pup"][str(a)] == pup[a]
