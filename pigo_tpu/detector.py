@@ -250,10 +250,24 @@ def _use_patch_post() -> bool:
     return backend_platform() != "cpu"
 
 
+def _patch_max_side() -> int:
+    """Largest planned patch side the MXU patch walk is allowed; bigger
+    plans route to the gather walk. The walk's cost is quadratic in the
+    patch side while the gather walk's is scale-independent; measured on
+    v5e the crossover sits between ~128 (patch 2.4-3.3x faster: 320x400
+    sample 28 vs 68 ms, crowd8 260 vs 857) and ~512 (gather 33x faster:
+    web640 MinSize-200 34 vs 1101 ms/frame)."""
+    import os
+
+    return int(os.environ.get("PIGO_TPU_PATCH_MAX_SIDE", "256"))
+
+
 def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom,
                     rotated=False):
     """Static per-stage patch sizes for the MXU patch walk, from a face
-    scale bound known at dispatch. Returns ((pupil sizes), (lmk sizes)).
+    scale bound known at dispatch. Returns ((pupil sizes), (lmk sizes)),
+    or None when the plan's largest patch exceeds _patch_max_side() — the
+    caller must then use the gather walk, which is cheaper there.
     rotated widens the EYE patches for the rotated probe reach; landmark
     walks are always upright (reference cmd/pigo/main.go:493-564)."""
     from pigo_tpu.ops import pupil_patch
@@ -266,6 +280,8 @@ def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom,
     lsize = pupil_patch.stage_patch_sizes(
         ASCALE_BOUND_FACTOR * float(max_face_scale), stages=ls,
         scale_mult=lm, nrows=rows, ncols=cols)
+    if max(esize + lsize) > _patch_max_side():
+        return None
     return esize, lsize
 
 
@@ -1035,14 +1051,17 @@ class FaceDetector:
             lmk_cids=jnp.asarray(lmk_cids), lmk_flips=jnp.asarray(lmk_flips),
         )
         retry = None
+        patch_cfg = None
         if _use_patch_post():
             # fast path: MXU patch walk (ops/pupil_patch.py, rotated eye
             # walks included); patch sizes come from the largest qualifying
-            # face, and a group that outruns its patches retries on the
-            # exact gather path
+            # face (None when that exceeds _patch_max_side — gather is
+            # cheaper there), and a group that outruns its patches retries
+            # on the exact gather path
             patch_cfg = _post_patch_cfg(
                 rows, cols, max(r.face.scale for r in eyed),
                 pupil_geom, lmk_geom, rotated=rotated)
+        if patch_cfg is not None:
             fut = _fused_post_patch(*args, patch_cfg=patch_cfg,
                                     pallas=_patch_post_pallas(),
                                     int8=_patch_post_int8(),

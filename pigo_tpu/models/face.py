@@ -203,6 +203,23 @@ class FaceCascade:
         }
         interpret = self.interpret
         cap = self.HIT_CAPACITY
+        # dense window index -> global plan window index (the dense kernel
+        # covers each scale's interior rectangle; for upright plans that is
+        # the whole grid, for rotated plans the border band is excluded)
+        maps = []
+        off = 0
+        for sp in plan.scales:
+            if not sp.fallback:
+                ii = (sp.i_lo + np.arange(sp.nr_real, dtype=np.int64))
+                jj = sp.j_lo + np.arange(sp.nc_real, dtype=np.int64)
+                maps.append(
+                    (off + ii[:, None] * sp.nc_full + jj[None, :]).ravel()
+                )
+            off += sp.nr_full * sp.nc_full
+        dense_to_global = (
+            np.concatenate(maps) if maps else np.zeros(0, np.int64)
+        )
+        resolve = self._resolve_consts(plan, dense_to_global)
 
         def scores(img2d, tables, preds, thresh):
             # In interpret mode each scale's kernel call is a small shared
@@ -221,8 +238,17 @@ class FaceCascade:
             hits = q > 0.0
             count = jnp.sum(hits.astype(jnp.int32))
             idx = jnp.nonzero(hits, size=cap, fill_value=-1)[0]
+            qv = q[idx]
+            if resolve is not None:
+                # Tree-prefix survivors finish ON DEVICE: the exact gather
+                # classifier (full forest) over the marked slots, in the
+                # same program — no host oracle, no extra round trip. The
+                # host _resolve_marked backstop only sees marks when more
+                # than rcap windows survive the prefix (never observed; the
+                # headline pyramid peaks at ~400).
+                qv, idx = resolve(img2d, idx, qv)
             return jnp.concatenate(
-                [count[None].astype(jnp.float32), idx.astype(jnp.float32), q[idx]]
+                [count[None].astype(jnp.float32), idx.astype(jnp.float32), qv]
             )
 
         # In interpret mode (CPU tests) the pyramid stays EAGER: jitting
@@ -255,27 +281,104 @@ class FaceCascade:
         # path (parallel/sharded.py) to re-stage under shard_map
         self._batch_fns[("raw",) + key] = (dense_sparse, scores, tables_dev)
 
-        # dense window index -> global plan window index (the dense kernel
-        # covers each scale's interior rectangle; for upright plans that is
-        # the whole grid, for rotated plans the border band is excluded)
-        maps = []
-        off = 0
-        for sp in plan.scales:
-            if not sp.fallback:
-                ii = (sp.i_lo + np.arange(sp.nr_real, dtype=np.int64))
-                jj = sp.j_lo + np.arange(sp.nc_real, dtype=np.int64)
-                maps.append(
-                    (off + ii[:, None] * sp.nc_full + jj[None, :]).ravel()
-                )
-            off += sp.nr_full * sp.nc_full
-        dense_to_global = (
-            np.concatenate(maps) if maps else np.zeros(0, np.int64)
-        )
         entry = (plan, dense_fn, dense_fn_full, dense_to_global)
         self._dense_plans[key] = entry
         return entry
 
     # ------------------------------------------------- prefix-mode escalation
+
+    # Device survivor-resolve capacity: tree-prefix marks beyond this fall
+    # back to the host oracle (_resolve_marked). The headline pyramid peaks
+    # at ~400 marks/frame; the gather classify costs ~0.65 us/window of
+    # device time, so 2048 slots add well under a millisecond. Interpret
+    # mode (CPU tests) shrinks the pad so the eager gather classify does
+    # not dominate the suite.
+    RESOLVE_CAP = 2048
+
+    def _resolve_consts(self, plan, d2g):
+        """Build the on-device tree-prefix survivor resolver for `plan`.
+
+        Returns None when the plan has no prefix scales, else a closure
+        resolve(img2d, idx, qv) -> (qv, idx) that replaces PREFIX_MARK
+        scores in the packed hit list with exact full-forest scores from
+        the gather classifier (ops/face_dense.classify_windows[_rotated])
+        — evaluated INSIDE the same device program, so host-free mode pays
+        no host oracle and no extra round trip. Offset tables follow the
+        reference read semantics exactly (core/pigo.go:113-147 upright,
+        150-191 rotated; same construction as ops/windows.build_window_plan)."""
+        svals = sorted({
+            sp.scale for sp in plan.scales
+            if sp.prefix_trees and not sp.fallback
+        })
+        if not svals:
+            return None
+        rows, cols = plan.rows, plan.cols
+        rcap = 256 if self.interpret else self.RESOLVE_CAP
+        svals_np = np.asarray(svals, np.int64)
+        codes = self._padded.codes.astype(np.int64)  # [T_pad, L, 4]
+        s_col = svals_np[:, None, None]
+        if plan.angle_idx == 0:
+            dr1 = (codes[None, :, :, 0] * s_col) >> 8
+            dc1 = (codes[None, :, :, 1] * s_col) >> 8
+            dr2 = (codes[None, :, :, 2] * s_col) >> 8
+            dc2 = (codes[None, :, :, 3] * s_col) >> 8
+            ro1 = jnp.asarray((dr1 * cols + dc1).astype(np.int32))
+            ro2 = jnp.asarray((dr2 * cols + dc2).astype(np.int32))
+            rrot = None
+        else:
+            from pigo_tpu.oracle.face import QCOS_TABLE, QSIN_TABLE
+
+            qs = (svals_np * int(QSIN_TABLE[plan.angle_idx]))[:, None, None]
+            qc = (svals_np * int(QCOS_TABLE[plan.angle_idx]))[:, None, None]
+            c0, c1 = codes[None, :, :, 0], codes[None, :, :, 1]
+            c2, c3 = codes[None, :, :, 2], codes[None, :, :, 3]
+            rrot = jnp.asarray(np.stack([
+                qc * c0 - qs * c1, qs * c0 + qc * c1,
+                qc * c2 - qs * c3, qs * c2 + qc * c3,
+            ]).astype(np.int32))
+            ro1 = ro2 = None
+        # per-global-window resolve-table row (valid for prefix windows;
+        # any other window a pad slot decodes to is classified and then
+        # discarded by the mark mask)
+        srow_dev = jnp.asarray(np.clip(
+            np.searchsorted(svals_np, plan.scale_w), 0, len(svals) - 1
+        ).astype(np.int32))
+        rows_dev = jnp.asarray(plan.rows_w.astype(np.int32))
+        cols_dev = jnp.asarray(plan.cols_w.astype(np.int32))
+        d2g_dev = jnp.asarray(d2g.astype(np.int32)) if d2g.size else None
+        mark_lo = jnp.float32(face_pallas.PREFIX_MARK / 2)
+        depth, leaves = self.forest.depth, self.forest.num_leaves
+        t_pad, block = self.t_pad, self.block
+        preds_g, thresh_g = self.preds_g, self.thresh_g
+        thresh_last = self.thresh_last
+
+        def resolve(img2d, idx, qv):
+            marked = (idx >= 0) & (qv >= mark_lo)
+            take = jnp.argsort(~marked)[:rcap]  # stable: marked slots first
+            tm = marked[take]
+            didx = jnp.clip(idx[take], 0)
+            gidx = d2g_dev[didx] if d2g_dev is not None else didx
+            rw, cw = rows_dev[gidx], cols_dev[gidx]
+            pix = img2d.reshape(-1)
+            if rrot is None:
+                qf = face_dense.classify_windows(
+                    pix, rw * cols + cw, srow_dev[gidx], ro1, ro2,
+                    preds_g, thresh_g, thresh_last,
+                    depth=depth, num_leaves=leaves, t_pad=t_pad, block=block,
+                )
+            else:
+                qf = face_dense.classify_windows_rotated(
+                    pix, rw, cw, srow_dev[gidx], rrot,
+                    preds_g, thresh_g, thresh_last,
+                    depth=depth, num_leaves=leaves, t_pad=t_pad,
+                    nrows=rows, dim=cols, block=block,
+                )
+            qv = qv.at[take].set(jnp.where(tm, qf, qv[take]))
+            idx = idx.at[take].set(
+                jnp.where(tm & (qf <= 0.0), -1, idx[take]))
+            return qv, idx
+
+        return resolve
 
     def _classify_exact_host(self, img2d, coords, angle=0.0) -> np.ndarray:
         """Exact f32 cascade scores for explicit windows int [N, 3]
