@@ -253,13 +253,18 @@ def _use_patch_post() -> bool:
 def _patch_max_side() -> int:
     """Largest planned patch side the MXU patch walk is allowed; bigger
     plans route to the gather walk. The walk's cost is quadratic in the
-    patch side while the gather walk's is scale-independent; measured on
-    v5e the crossover sits between ~128 (patch 2.4-3.3x faster: 320x400
-    sample 28 vs 68 ms, crowd8 260 vs 857) and ~512 (gather 33x faster:
-    web640 MinSize-200 34 vs 1101 ms/frame)."""
+    patch side while the gather walk's is scale-independent. Measured on
+    v5e (round-5 sweep, detect_stream_device, 48-frame means): at the
+    512 cap the sample full pipeline runs 26.2 vs 67.4 ms on gather
+    (2.6x) and crowd8 254 vs 636 ms (2.5x); web640's landmark patches
+    plan above 512 either way, so it keeps the gather walk (32.2 ms both
+    arms — the right engine there: its 768/1024-bucket patches measured
+    1101 ms in round 4). The previous 256 default silently routed every
+    realistic face (landmark patches plan at ~1.3x face scale) back to
+    the gather walk, costing the 2.6x."""
     import os
 
-    return int(os.environ.get("PIGO_TPU_PATCH_MAX_SIDE", "256"))
+    return int(os.environ.get("PIGO_TPU_PATCH_MAX_SIDE", "512"))
 
 
 def _post_patch_cfg(rows, cols, max_face_scale, pupil_geom, lmk_geom,
@@ -383,10 +388,13 @@ def _patch_post_int8() -> bool:
     (ops/pupil_patch.py: pixels shifted by -128 fit s8 exactly; bintest
     compares are shift-invariant, so results stay bit-identical while the
     s8 path runs at twice the bf16 MXU rate with half the HBM traffic).
-    Opt-in via PIGO_TPU_POST_INT8=1 until measured on real hardware."""
+    Default ON — measured on v5e (round-5 sweep): sample full pipeline
+    26.90 -> 26.15 ms/frame, crowd8 254.1 -> 249.7; bit-exactness is
+    test-pinned (tests/test_pupil.py::test_patch_walk_int8_exact).
+    PIGO_TPU_POST_INT8=0 restores the bf16 formulation."""
     import os
 
-    return os.environ.get("PIGO_TPU_POST_INT8") == "1"
+    return os.environ.get("PIGO_TPU_POST_INT8", "1") != "0"
 
 
 def _attach_post(res, eyes, lmk, i, npts, perturbs):

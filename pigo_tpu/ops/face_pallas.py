@@ -112,12 +112,18 @@ def _use_mxu_read() -> bool:
     vector-issue bound; the roll is its widest vector op). Exact: the
     one-hot has a single unit term per output row and the f32 matmul of
     unit weights reproduces the plane values bit-for-bit.
-    PIGO_TPU_MXU_READ=0/1 overrides. Default OFF until measured on real
-    hardware (an unmeasured variant must not decide the serving default)."""
+    PIGO_TPU_MXU_READ=0/1 overrides. Default ON for real accelerators —
+    measured on v5e (round-5 sweep, 64-frame streamed means): headline
+    10.22 -> 9.69 ms/frame, 1080p worst-case 76.3 -> 71.6 ms, rotated 45
+    deg 18.1 -> 17.5 ms, all bit-exact. CPU (the interpret-mode test
+    backend) keeps the roll formulation: dense one-hot matmuls are much
+    slower than rolls there."""
     env = os.environ.get("PIGO_TPU_MXU_READ")
     if env is not None:
         return env != "0"
-    return False
+    from pigo_tpu.utils.platform import backend_platform
+
+    return backend_platform() != "cpu"
 
 
 def _read_builder(planes_ref, row0, mxu_read):
