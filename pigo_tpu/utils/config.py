@@ -26,7 +26,17 @@ def ensure_compilation_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # PIGO_TPU_JAX_CACHE_WRITE=0: reads stay on, writes off. The test
+        # suite sets this (tests/conftest.py): XLA:CPU's
+        # LoadedExecutable.serialize() segfaults nondeterministically on
+        # big pallas-interpret modules late in a many-compilation process,
+        # and the min-compile-time check runs BEFORE serialization.
+        if os.environ.get("PIGO_TPU_JAX_CACHE_WRITE", "1") == "0":
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1e9)
+        else:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # cache is an optimization only

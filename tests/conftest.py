@@ -17,6 +17,15 @@ if platform == "cpu":
     # The TPU plugin environment may have imported jax already (via
     # sitecustomize), so env JAX_PLATFORMS is too late — use config.update
     # before the first backend use.
+    # Persistent-cache READS stay on, WRITES off: XLA:CPU's
+    # LoadedExecutable.serialize() segfaults nondeterministically on the
+    # suite's big pallas-interpret modules after many compilations in one
+    # process (observed 3x, different tests, all inside
+    # compilation_cache.put_executable_and_time). Honored by
+    # pigo_tpu.utils.config.ensure_compilation_cache, which otherwise
+    # re-enables writes on first model construction.
+    os.environ.setdefault("PIGO_TPU_JAX_CACHE_WRITE", "0")
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
