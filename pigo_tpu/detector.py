@@ -835,9 +835,9 @@ class FaceDetector:
         # escalate tree-prefix survivors to the host, so tail scales route
         # to the host engine wholesale here
         plan, dense_fn, dense_fn_full, d2g = fc._dense_plan(
-            rows, cols, *cfg, angle_idx0, prefix=False)
+            rows, cols, *cfg, angle_idx0, prefix=False, tree_cap=0)
         arrays = fc.device_plan_arrays(rows, cols, *cfg, angle_idx0,
-                                       prefix=False)
+                                       prefix=False, tree_cap=0)
         img2d = jnp.asarray(frame, jnp.uint8).reshape(rows, cols)
         cap = fc.HIT_CAPACITY
         if d2g.size:

@@ -174,17 +174,31 @@ class FaceCascade:
     # tens of raw hits; an overflow (count > cap) triggers a dense re-read.
     HIT_CAPACITY = 4096
 
+    def _resolved_cap(self, tree_cap=None) -> int:
+        """Effective dense-scale tree cap (see ops/face_pallas.TREE_CAP):
+        env/default when None, rounded to the kernel's 4-tree chunk, zeroed
+        when it would not trim the forest. Part of the plan cache key so a
+        changed PIGO_TPU_TREE_CAP never aliases a cached plan."""
+        if tree_cap is None:
+            cap = face_pallas._dense_tree_cap()
+        elif tree_cap > 0:
+            cap = face_pallas._round_up(tree_cap, 4)
+        else:
+            cap = 0
+        return 0 if cap >= self.forest.num_trees else cap
+
     def _dense_plan(self, rows, cols, min_size, max_size, shift, scale_f,
-                    angle_idx=0, prefix=None):
+                    angle_idx=0, prefix=None, tree_cap=None):
         prefix = self.prefix if prefix is None else prefix
+        cap = self._resolved_cap(tree_cap)
         key = (rows, cols, min_size, max_size, shift, scale_f, angle_idx,
-               prefix)
+               prefix, cap)
         hit = self._dense_plans.get(key)
         if hit is not None:
             return hit
         plan = face_pallas.build_dense_plan(
             self.forest, rows, cols, min_size, max_size, shift, scale_f,
-            angle_idx, prefix,
+            angle_idx, prefix, tree_cap=cap,
         )
         # Tables/preds are passed as runtime ARGUMENTS (device-resident
         # handles), not closure constants: some runtimes re-ship executable
@@ -195,7 +209,8 @@ class FaceCascade:
         # trimmed stride for its per-scale table offsets
         tables_dev = {
             sp.scale: jnp.asarray(
-                (sp.tables[: sp.prefix_trees] if sp.prefix_trees
+                (sp.tables[: (sp.prefix_trees or sp.tree_cap)]
+                 if (sp.prefix_trees or sp.tree_cap)
                  else sp.tables).reshape(-1)
             )
             for sp in plan.scales
@@ -308,12 +323,12 @@ class FaceCascade:
         150-191 rotated; same construction as ops/windows.build_window_plan)."""
         svals = sorted({
             sp.scale for sp in plan.scales
-            if sp.prefix_trees and not sp.fallback
+            if (sp.prefix_trees or sp.tree_cap) and not sp.fallback
         })
         if not svals:
             return None
         rows, cols = plan.rows, plan.cols
-        rcap = 256 if self.interpret else self.RESOLVE_CAP
+        rcap = min(256, self.RESOLVE_CAP) if self.interpret else self.RESOLVE_CAP
         svals_np = np.asarray(svals, np.int64)
         codes = self._padded.codes.astype(np.int64)  # [T_pad, L, 4]
         s_col = svals_np[:, None, None]
@@ -492,19 +507,19 @@ class FaceCascade:
 
     def device_plan_arrays(self, rows, cols, min_size, max_size,
                            shift_factor, scale_factor, angle_idx=0,
-                           prefix=None):
+                           prefix=None, tree_cap=None):
         """Device-resident (row, col, scale) tables for every plan window +
         the dense->global index map — lets downstream XLA programs decode the
         packed hit list without a host round trip."""
         prefix = self.prefix if prefix is None else prefix
         key = ("dev", rows, cols, min_size, max_size, shift_factor,
-               scale_factor, angle_idx, prefix)
+               scale_factor, angle_idx, prefix, self._resolved_cap(tree_cap))
         hit = self._batch_fns.get(key)
         if hit is not None:
             return hit
         plan, _, _, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor,
-            angle_idx, prefix,
+            angle_idx, prefix, tree_cap,
         )
         arrays = {
             "rows_w": jnp.asarray(plan.rows_w, jnp.int32),
@@ -718,7 +733,7 @@ class FaceCascade:
         frames = jnp.asarray(frames, jnp.uint8)
         b, rows, cols = frames.shape
         key = (rows, cols, min_size, max_size, shift_factor, scale_factor,
-               angle_idx, self.prefix)
+               angle_idx, self.prefix, self._resolved_cap())
         plan, dense_fn, dense_fn_full, d2g = self._dense_plan(
             rows, cols, min_size, max_size, shift_factor, scale_factor,
             angle_idx,

@@ -81,6 +81,56 @@ PLANES_VMEM_BUDGET = 64 * 1024 * 1024
 # 16x128 tiles, where one surviving window stalls the whole scale — onto the
 # overlapped host engine).
 TAIL_MIN_WINDOWS = 6144
+
+
+def _tail_cutoff() -> int:
+    """Host-tail routing cutoff in windows (PIGO_TPU_TAIL_MIN_WINDOWS
+    overrides TAIL_MIN_WINDOWS). Plans cache per FaceCascade instance, so a
+    changed env value takes effect on new instances / uncached plans."""
+    env = os.environ.get("PIGO_TPU_TAIL_MIN_WINDOWS")
+    return int(env) if env else TAIL_MIN_WINDOWS
+
+
+# Cost-balanced host share (host-tail mode only, prefix=False): beyond the
+# per-launch TAIL_MIN_WINDOWS floor, keep routing the SMALLEST remaining
+# scales to the host engine while the cumulative host share of the plan's
+# windows stays under this fraction. Why a fraction and not a bigger
+# cutoff: a fixed window-count cutoff cannot serve both workload shapes —
+# 32768 is the measured 1080p optimum (71.8 -> 56.3 ms, ~20% host share)
+# but routes 100% of the 320x400 headline pyramid to the host. The AVX-512
+# host engine (~65 ns/window) runs UNDER the in-flight device compute, so
+# the balance point is where the host's share of windows costs about as
+# much wall time as the device's share; measured near 20% on both pyramid
+# shapes (docs/PERFORMANCE.md round 5).
+HOST_SHARE_TARGET = 0.2
+
+
+def _host_share_target() -> float:
+    env = os.environ.get("PIGO_TPU_HOST_SHARE")
+    return float(env) if env else HOST_SHARE_TARGET
+# Device tree cap for DENSE (non-tail) scales: 0 = off, K > 0 caps every
+# dense scale's soft-cascade walk at K trees. A window failing within K
+# trees is exactly the reference's -1 (the soft-cascade exit is monotone:
+# once the running sum drops below a tree's threshold the walk is over,
+# core/pigo.go:139-141), so capping only AFFECTS survivors — they get
+# PREFIX_MARK and are finished exactly by the on-device gather classifier
+# (models/face._resolve_consts) or the host backstop. Why: the dense
+# kernel pays the MAX tree-death over each 16x128-window tile, and rare
+# long-surviving windows (the 1080p early-exit floor, docs/PERFORMANCE.md)
+# drag whole tiles through hundreds of trees for work the resolver does in
+# ~0.65 us/window. Rounded up to a multiple of 4 (the kernel evaluates
+# 4-tree chunks; an unaligned cap would read past the trimmed tables).
+TREE_CAP = 0
+
+
+def _dense_tree_cap() -> int:
+    """Dense-scale device tree cap (PIGO_TPU_TREE_CAP overrides TREE_CAP).
+    Resolved at plan-build time; plans cache per FaceCascade instance."""
+    env = os.environ.get("PIGO_TPU_TREE_CAP")
+    cap = int(env) if env is not None else TREE_CAP
+    return _round_up(cap, 4) if cap > 0 else 0
+
+
 # Tree-prefix mode for sparse tail scales: the device evaluates only the
 # first PREFIX_TREES trees densely (a fixed, small number of tile steps —
 # no straggler stall), marks the few surviving windows with PREFIX_MARK in
@@ -194,6 +244,10 @@ class ScalePlan:
     c0: int = 0
     col_groups: int = 1  # 128-lane window-column groups per kernel tile
     prefix_trees: int = 0  # >0: evaluate only this many trees on device
+    # >0: dense-scale device tree cap (module docstring at TREE_CAP);
+    # distinct from prefix_trees so capped scales keep their own per-scale
+    # kernel call instead of joining the fused tail-prefix groups
+    tree_cap: int = 0
     plane_cols: int = 0  # pcb: plane columns per column phase
     i_lo: int = 0  # interior origin as full-grid indices
     j_lo: int = 0
@@ -320,6 +374,7 @@ def build_dense_plan(
     scale_factor: float,
     angle_idx: int = 0,
     prefix: bool = True,
+    tree_cap: int | None = None,
 ) -> DensePlan:
     """Host-side planner: per-scale geometry, decimation choice, node tables.
 
@@ -333,7 +388,45 @@ def build_dense_plan(
     the host via PREFIX_MARK); prefix=False routes them to the host tail
     engine wholesale — used by the device-resident frame pipeline, whose
     on-device clustering cannot escalate marked windows.
+
+    tree_cap (None = the TREE_CAP / PIGO_TPU_TREE_CAP default) caps every
+    DENSE scale's device walk at that many trees; survivors escalate via
+    PREFIX_MARK exactly like tail-prefix survivors. Callers that cannot
+    escalate marks (the device-resident pipeline, the sharded band path)
+    must pass tree_cap=0 explicitly.
     """
+    cap = _dense_tree_cap() if tree_cap is None else (
+        _round_up(tree_cap, 4) if tree_cap > 0 else 0
+    )
+    if cap >= forest.num_trees:
+        cap = 0
+    # Host-routing pre-pass: every scale below the per-launch floor goes to
+    # the host; in host-tail mode (prefix=False) the cost-balance budget
+    # then promotes the smallest remaining scales until the host share
+    # reaches HOST_SHARE_TARGET (break at the first scale that would
+    # overshoot — host work must stay the cheap-window end of the pyramid).
+    geo = []
+    for scale in pyramid_scales(min_size, max_size, scale_factor):
+        k = int(max(shift_factor * scale, 1.0))
+        offset = scale // 2 + 1
+        nr_full = (rows - 2 * offset) // k + 1
+        nc_full = (cols - 2 * offset) // k + 1
+        if nr_full > 0 and nc_full > 0:
+            geo.append((scale, nr_full * nc_full))
+    cutoff = _tail_cutoff()
+    host_scales = {s for s, w in geo if w < cutoff}
+    total_w = sum(w for _, w in geo)
+    if not prefix and total_w:
+        share = _host_share_target()
+        cum = sum(w for s, w in geo if s in host_scales)
+        for s, w in sorted(
+            (g for g in geo if g[0] not in host_scales),
+            key=lambda g: (g[1], g[0]),
+        ):
+            if (cum + w) / total_w > share:
+                break
+            host_scales.add(s)
+            cum += w
     plans: list[ScalePlan] = []
     rws, cws, sws = [], [], []
     s_max = 128  # |code| <= 128: node offsets reach ((+-128)*s) >> 8
@@ -385,7 +478,7 @@ def build_dense_plan(
         r0p = r0 + ext_mr
         c0p = c0 + ext_mc
 
-        sparse_tail = nr_int * nc_int < TAIL_MIN_WINDOWS
+        sparse_tail = scale in host_scales
         if sparse_tail and (
             not prefix or nr_int * nc_int < PREFIX_MIN_WINDOWS
         ):
@@ -452,6 +545,7 @@ def build_dense_plan(
                 fallback=False, r0=r0, c0=c0, i_lo=i_lo, j_lo=j_lo,
                 nr_full=nr_full, nc_full=nc_full, col_groups=cg,
                 prefix_trees=PREFIX_TREES if sparse_tail else 0,
+                tree_cap=0 if sparse_tail else cap,
                 plane_cols=pcb, ext_mr=ext_mr, ext_mc=ext_mc,
                 ext_rows=ext_rows, ext_cols=ext_cols,
             )
@@ -694,7 +788,7 @@ def scale_scores(
     # many scales share one compiled kernel specialization.
     nrt = n_row_tiles if banded else _bucket_tiles(sp.n_row_tiles)
     nct = sp.n_col_tiles if banded else _bucket_tiles(sp.n_col_tiles)
-    limit = sp.prefix_trees if sp.prefix_trees else forest.num_trees
+    limit = sp.prefix_trees or sp.tree_cap or forest.num_trees
     meta = jnp.concatenate([
         jnp.asarray([sp.nr, sp.nc, sp.chunk_stride], jnp.int32),
         jnp.asarray(tile_off, jnp.int32).reshape(1),

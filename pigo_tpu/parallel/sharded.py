@@ -66,11 +66,13 @@ class ShardedFaceCascade:
         if key in self._fns:
             return self._fns[key]
         fc = self.face
+        # tree_cap=0: per-band scale_scores calls here would mark capped
+        # survivors for escalation mid-shard_map; keep bands exact instead
         plan, _, dense_fn_full, d2g = fc._dense_plan(
-            rows, cols, min_size, max_size, shift, scale_f
+            rows, cols, min_size, max_size, shift, scale_f, tree_cap=0
         )
         raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f,
-                   0, fc.prefix)
+                   0, fc.prefix, 0)
         _, _, tables_dev = fc._batch_fns[raw_key]
         dense_scales = [sp for sp in plan.scales if not sp.fallback]
         n, axis, cap = self.n, self.axis, self.cap
@@ -210,11 +212,13 @@ class ShardedFaceCascade:
         if key in self._fns:
             return self._fns[key]
         fc = self.face
+        # tree_cap=0: the DP collect path fetches packed hits without the
+        # per-frame host pixels a capped-survivor host backstop would need
         plan, _, dense_fn_full, d2g = fc._dense_plan(
-            rows, cols, min_size, max_size, shift, scale_f
+            rows, cols, min_size, max_size, shift, scale_f, tree_cap=0
         )
         raw_key = ("raw", rows, cols, min_size, max_size, shift, scale_f,
-                   0, fc.prefix)
+                   0, fc.prefix, 0)
         dense_sparse, _, tables_dev = fc._batch_fns[raw_key]
         axis = self.axis
 

@@ -492,3 +492,60 @@ def test_prefix_mode_oracle_exact(sample_gray, face_forest, monkeypatch,
     assert not (q >= fp.PREFIX_MARK / 2).any()
     hit = q > 0
     assert np.array_equal(coords[hit], oracle[:, :3].astype(coords.dtype))
+
+
+@pytest.mark.parametrize("no_native", [False, True])
+def test_dense_tree_cap_oracle_exact(sample_gray, face_forest, monkeypatch,
+                                     no_native):
+    """Dense-scale device tree cap (PIGO_TPU_TREE_CAP / ScalePlan.tree_cap):
+    every dense scale stops after K trees, survivors get PREFIX_MARK and
+    are finished exactly — on-device gather resolve first, host backstop
+    (native classify_batch / NO_NATIVE oracle) beyond RESOLVE_CAP. The cap
+    only short-circuits the monotone soft-cascade exit
+    (reference core/pigo.go:139-141), so results stay oracle-exact."""
+    from PIL import Image
+
+    from pigo_tpu.models import face as face_mod
+    from pigo_tpu.ops import face_pallas as fp
+
+    if no_native:
+        monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
+    monkeypatch.setenv("PIGO_TPU_TREE_CAP", "8")
+    monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
+    face = np.asarray(
+        Image.fromarray(sample_gray).resize((30, 37)), np.uint8)
+    frame = np.full((96, 88), 190, np.uint8)
+    frame[30:67, 28:58] = face
+    rows, cols = frame.shape
+    cfg = dict(min_size=20, max_size=60, shift_factor=0.1, scale_factor=1.3)
+    oracle = oracle_run_cascade(
+        face_forest, frame.ravel(), rows, cols, cols,
+        cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+        cfg["scale_factor"])
+    assert oracle.shape[0] >= 1
+    # tiny resolve capacity: survivors beyond it exercise the host
+    # _resolve_marked backstop in the same run as the device resolve
+    monkeypatch.setattr(face_mod.FaceCascade, "RESOLVE_CAP", 16)
+    fc = FaceCascade(face_forest, backend="pallas")
+    plan, *_ = fc._dense_plan(
+        rows, cols, cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+        cfg["scale_factor"])
+    capped = [sp for sp in plan.scales if sp.tree_cap]
+    assert capped, "config should produce capped dense scales"
+    assert all(sp.tree_cap == 8 and not sp.prefix_trees for sp in capped)
+    dets = fc.run_cascade(frame, rows, cols, **cfg)
+    assert np.array_equal(dets[:, :3], oracle[:, :3])
+    assert np.array_equal(dets[:, 3].astype(np.float32),
+                          oracle[:, 3].astype(np.float32))
+    assert not (dets[:, 3] >= fp.PREFIX_MARK / 2).any()
+    # batched path shares the capped plan + resolver
+    outs = fc.sparse_hits_batch(np.stack([frame, frame]), **cfg)
+    for o in outs:
+        assert np.array_equal(o, dets)
+    # a non-multiple-of-4 request rounds up (kernel evaluates 4-tree
+    # chunks); explicit 0 disables capping entirely
+    assert fc._resolved_cap(9) == 12 and fc._resolved_cap(0) == 0
+    plan0, *_ = fc._dense_plan(
+        rows, cols, cfg["min_size"], cfg["max_size"], cfg["shift_factor"],
+        cfg["scale_factor"], tree_cap=0)
+    assert all(sp.tree_cap == 0 for sp in plan0.scales)
