@@ -107,13 +107,11 @@ def tpu_run() -> int:
     warm = list(fc.stream_hits(frames[:2], depth=DEPTH, **CFG))
     assert np.array_equal(warm[0], dets), "stream parity sanity"
 
-    from pigo_tpu.utils.profiling import FpsMeter, PipelineStats
+    from pigo_tpu.utils.profiling import PipelineStats
 
     plan, *_ = fc._dense_plan(rows, cols, 20, 1000, 0.1, 1.1)
     reps = max(1, int(os.environ.get("PIGO_TPU_BENCH_REPS", "5")))
     stats = PipelineStats()
-    meter = FpsMeter(window=N_FRAMES)
-    fps_roll = 0.0
     times = []
     for rep in range(reps):
         t0 = time.perf_counter()
@@ -127,7 +125,6 @@ def tpu_run() -> int:
             for frame_dets in outs:
                 with stats.stage("cluster", items=frame_dets.shape[0]):
                     n_clusters += cluster_fn(frame_dets, 0.2).shape[0]
-                fps_roll = meter.tick()
         times.append((time.perf_counter() - t0) / N_FRAMES)
         assert n_clusters >= N_FRAMES, "benchmark sanity: faces lost in stream"
         print(f"rep {rep}: {times[-1]*1e3:.2f} ms/frame", file=sys.stderr)
@@ -135,7 +132,6 @@ def tpu_run() -> int:
     median_dt = sorted(times)[len(times) // 2]
     # per-stage observability on stderr (the single JSON line below is the
     # machine-read result and stays on stdout)
-    print(f"rolling fps (FpsMeter): {fps_roll:.1f}", file=sys.stderr)
     stats.report(file=sys.stderr)
 
     # Secondary driver-visible workload (VERDICT r3 #9): a 1080p realistic

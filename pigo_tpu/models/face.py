@@ -255,12 +255,12 @@ class FaceCascade:
             idx = jnp.nonzero(hits, size=cap, fill_value=-1)[0]
             qv = q[idx]
             if resolve is not None:
-                # Tree-prefix survivors finish ON DEVICE: the exact gather
-                # classifier (full forest) over the marked slots, in the
-                # same program — no host oracle, no extra round trip. The
-                # host _resolve_marked backstop only sees marks when more
-                # than rcap windows survive the prefix (never observed; the
-                # headline pyramid peaks at ~400).
+                # OPT-IN (PIGO_TPU_DEVICE_RESOLVE=1): tree-prefix survivors
+                # finish ON DEVICE via the exact gather classifier. Default
+                # off — measured ~89 us/window on v5e makes the static
+                # RESOLVE_CAP slots cost ~183 ms/frame (_resolve_consts);
+                # marks normally ride the packed hit list to the host
+                # finish (_resolve_marked) instead.
                 qv, idx = resolve(img2d, idx, qv)
             return jnp.concatenate(
                 [count[None].astype(jnp.float32), idx.astype(jnp.float32), qv]
@@ -313,14 +313,24 @@ class FaceCascade:
     def _resolve_consts(self, plan, d2g):
         """Build the on-device tree-prefix survivor resolver for `plan`.
 
-        Returns None when the plan has no prefix scales, else a closure
-        resolve(img2d, idx, qv) -> (qv, idx) that replaces PREFIX_MARK
-        scores in the packed hit list with exact full-forest scores from
-        the gather classifier (ops/face_dense.classify_windows[_rotated])
-        — evaluated INSIDE the same device program, so host-free mode pays
-        no host oracle and no extra round trip. Offset tables follow the
-        reference read semantics exactly (core/pigo.go:113-147 upright,
-        150-191 rotated; same construction as ops/windows.build_window_plan)."""
+        OPT-IN (PIGO_TPU_DEVICE_RESOLVE=1, read at plan-build time): the
+        resolver replaces PREFIX_MARK scores in the packed hit list with
+        exact full-forest scores from the gather classifier
+        (ops/face_dense.classify_windows[_rotated]) inside the same device
+        program — no host oracle, no extra round trip. MEASURED on v5e
+        (round 5): the gather classify costs ~89 us/window, so the static
+        RESOLVE_CAP=2048 slots add ~183 ms to EVERY frame whether or not
+        any window is marked — a 20x pessimization of any plan that
+        carries prefix/capped scales. The default (None) routes marks to
+        the host finish instead (_resolve_marked: native classify_batch or
+        the vectorized NumPy oracle, ~400 survivors in ~1 ms). Offset
+        tables follow the reference read semantics exactly
+        (core/pigo.go:113-147 upright, 150-191 rotated; same construction
+        as ops/windows.build_window_plan)."""
+        import os
+
+        if os.environ.get("PIGO_TPU_DEVICE_RESOLVE", "0") != "1":
+            return None
         svals = sorted({
             sp.scale for sp in plan.scales
             if (sp.prefix_trees or sp.tree_cap) and not sp.fallback

@@ -100,9 +100,11 @@ def _tail_cutoff() -> int:
 # but routes 100% of the 320x400 headline pyramid to the host. The AVX-512
 # host engine (~65 ns/window) runs UNDER the in-flight device compute, so
 # the balance point is where the host's share of windows costs about as
-# much wall time as the device's share; measured near 20% on both pyramid
-# shapes (docs/PERFORMANCE.md round 5).
-HOST_SHARE_TARGET = 0.2
+# much wall time as the device's share; measured minimum at 30% on both
+# pyramid shapes (swept 12.5/20/25/30/35/45%, docs/PERFORMANCE.md round 5:
+# headline 10.16/9.58/9.05/8.57/11.39/9.33 ms, 1080p
+# 57.7/50.9/46.2/44.8/48.2/48.9 ms).
+HOST_SHARE_TARGET = 0.3
 
 
 def _host_share_target() -> float:

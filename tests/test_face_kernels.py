@@ -511,6 +511,10 @@ def test_dense_tree_cap_oracle_exact(sample_gray, face_forest, monkeypatch,
     if no_native:
         monkeypatch.setenv("PIGO_TPU_NO_NATIVE", "1")
     monkeypatch.setenv("PIGO_TPU_TREE_CAP", "8")
+    # the opt-in on-device gather resolver (default off: measured ~89
+    # us/window on v5e, models/face._resolve_consts) + the host backstop
+    # beyond RESOLVE_CAP are both exercised here
+    monkeypatch.setenv("PIGO_TPU_DEVICE_RESOLVE", "1")
     monkeypatch.setattr(fp, "TAIL_MIN_WINDOWS", 512)
     face = np.asarray(
         Image.fromarray(sample_gray).resize((30, 37)), np.uint8)
